@@ -1,0 +1,298 @@
+"""Spatial query operators over a samples DataFrame.
+
+Re-expresses the reference's query engine (``Query.fs:342-793``) as two-phase
+spatial joins on a samples DataFrame ``(cx, cy, e, <layers...>)``:
+
+- phase 1 (coarse): Catalyst range predicates on cell indices — the analogue
+  of the reference's ``isNodeFullyOutside`` subtree pruning (Query.fs:352-354),
+  pushed down to parquet scans as min/max filters;
+- phase 2 (fine): per-sample predicate on the SampleMode position
+  (Query.fs:443-608) — still pure Column arithmetic for box/cell/line/convex
+  polygons; batched kernels only for arbitrary many-polygon joins.
+
+The reference resolves merge nodes lazily during traversal (Query.fs:79-338);
+this engine resolves merges eagerly at build time (operators/merge.py), so
+queries here run on an already-resolved samples set and reproduce the same
+(cell, value) outputs (golden tests in tests/test_queries.py).
+
+Every sample's "position" is ``(c + rel) * 2^e`` per SampleMode
+(Query.fs:11-40, default Center = 0.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import cells as C
+
+
+def query_all(samples: DataFrame, min_exponent: int | None = None) -> DataFrame:
+    """All samples, optional LoD cut (Query.fs:435-436 + Config.MinExponent)."""
+    if min_exponent is not None:
+        samples = lod_cut(samples, min_exponent)
+    return samples
+
+
+def lod_cut(samples: DataFrame, min_exponent: int) -> DataFrame:
+    """Per-location finest level with e >= min_exponent.
+
+    The reference's traversal stops descending when a child's sample exponent
+    would drop below ``Config.MinExponent`` (Query.fs:372-380), returning the
+    coarsest nodes at-or-above the cut along each branch — equivalently: keep
+    a sample iff no *finer* sample with e >= min_exponent covers the same area.
+    Implemented as an ancestor anti-join over the (few) distinct exponent pairs.
+    """
+    s = samples.filter(F.col("e") >= F.lit(min_exponent))
+    exps = [r[0] for r in s.select("e").distinct().collect()]
+    if len(exps) <= 1:
+        return s
+    # a sample at exponent ea is shadowed if any sample at finer eb (< ea)
+    # has it as ancestor -> anti-join on the computed ancestor key
+    out = None
+    fine_keys = None
+    for ea in sorted(exps):
+        level = s.filter(F.col("e") == ea)
+        finer = [eb for eb in exps if eb < ea]
+        if finer:
+            shadows = (
+                s.filter(F.col("e").isin(finer))
+                .select(
+                    C.parent_coord(F.col("cx"), (F.lit(ea) - F.col("e")).cast("int")).alias("acx"),
+                    C.parent_coord(F.col("cy"), (F.lit(ea) - F.col("e")).cast("int")).alias("acy"),
+                )
+                .distinct()
+            )
+            level = level.join(
+                shadows,
+                (level["cx"] == shadows["acx"]) & (level["cy"] == shadows["acy"]),
+                "left_anti",
+            )
+        out = level if out is None else out.unionByName(level)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J6 InsideBox (Query.fs:447-451)
+# ---------------------------------------------------------------------------
+
+def inside_box(
+    samples: DataFrame,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Samples whose SampleMode position lies in the box (min-inclusive).
+
+    Pure Catalyst range predicate — pushed down to the scan; equivalent to the
+    reference's box containment on sample positions (Query.fs:450).
+    """
+    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
+    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
+    return samples.filter(
+        (px >= F.lit(float(minx)))
+        & (px <= F.lit(float(maxx)))
+        & (py >= F.lit(float(miny)))
+        & (py <= F.lit(float(maxy)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 InsideCell / J5 IntersectsCell (Query.fs:439-444, 575-592)
+# ---------------------------------------------------------------------------
+
+def inside_cell(samples: DataFrame, qcx: int, qcy: int, qe: int) -> DataFrame:
+    """Samples fully inside the query cell: ancestor-or-equal containment.
+
+    Integer range predicate at aligned exponents (Query.fs:439-444 via
+    GetBoundsForExponent, Prelude.fs:113-133).
+    """
+    return samples.filter(
+        C.is_ancestor_or_equal(F.lit(qcx), F.lit(qcy), F.lit(qe), F.col("cx"), F.col("cy"), F.col("e"))
+    )
+
+
+def intersects_cell(samples: DataFrame, qcx: int, qcy: int, qe: int) -> DataFrame:
+    """Samples whose cell area intersects the query cell.
+
+    Includes the supersampling case: a query cell *finer* than the data
+    returns the coarser containing sample (Query.fs:575-592; golden
+    Tests/QueryTests.fs:122-133).
+    """
+    return samples.filter(
+        C.cells_intersect(F.lit(qcx), F.lit(qcy), F.lit(qe), F.col("cx"), F.col("cy"), F.col("e"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 InsidePolygon (Query.fs:454-468, 595-624)
+# ---------------------------------------------------------------------------
+
+def _winding_expr(px, py, verts: list[tuple[float, float]]):
+    """Winding-number point-in-polygon as a plan-time Column expression.
+
+    The polygon is fixed at plan time, so the edge loop unrolls into pure
+    JVM-side arithmetic (whole-stage codegen) — no Python per row. Nonzero
+    winding rule, boundary points counted as inside (matches the reference's
+    Polygon2d.Contains on the golden fixtures).
+    """
+    n = len(verts)
+    wind = F.lit(0)
+    on_edge = F.lit(False)
+    for i in range(n):
+        x1, y1 = (float(v) for v in verts[i])
+        x2, y2 = (float(v) for v in verts[(i + 1) % n])
+        cross = (F.lit(x2 - x1)) * (py - F.lit(y1)) - (F.lit(y2 - y1)) * (px - F.lit(x1))
+        up = (F.lit(y1) <= py) & (py < F.lit(y2)) & (cross > 0)
+        down = (F.lit(y2) <= py) & (py < F.lit(y1)) & (cross < 0)
+        wind = wind + F.when(up, F.lit(1)).when(down, F.lit(-1)).otherwise(F.lit(0))
+        # boundary: point on segment
+        within_seg = (
+            (px >= F.lit(min(x1, x2))) & (px <= F.lit(max(x1, x2)))
+            & (py >= F.lit(min(y1, y2))) & (py <= F.lit(max(y1, y2)))
+        )
+        on_edge = on_edge | ((cross == 0) & within_seg)
+    return (wind != 0) | on_edge
+
+
+def inside_polygon(
+    samples: DataFrame,
+    verts: list[tuple[float, float]],
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Samples whose SampleMode position lies inside the (CCW) polygon.
+
+    Two-phase: bbox prefilter (Catalyst, prunable) then exact winding test
+    (also Catalyst — the polygon is a plan-time constant). Mirrors
+    Query.InsidePolygon (Query.fs:454-468) incl. CCW normalization.
+    """
+    verts = _ensure_ccw(verts)
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    pre = inside_box(samples, min(xs), min(ys), max(xs), max(ys), rel)
+    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
+    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
+    return pre.filter(_winding_expr(px, py, verts))
+
+
+def _ensure_ccw(verts: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Normalize winding to CCW (Query.fs:455-458 Polygon2d.WithoutMultiplePoints/IsCcw)."""
+    area2 = 0.0
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        area2 += x1 * y2 - x2 * y1
+    return list(verts) if area2 >= 0 else list(reversed(verts))
+
+
+# ---------------------------------------------------------------------------
+# J8 NearLine (Query.fs:471-489)
+# ---------------------------------------------------------------------------
+
+def near_line(
+    samples: DataFrame,
+    ox: float,
+    oy: float,
+    dx: float,
+    dy: float,
+    dist: float,
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Samples whose position is within ``dist`` of the infinite line through
+    (ox,oy) with direction (dx,dy) (Ray2d.GetDistanceToRay, Query.fs:477-488).
+
+    Coarse phase: expanded-bbox on the perpendicular band is implicit in the
+    single codegen'd predicate; the cross-product distance is exact.
+    """
+    norm = (dx * dx + dy * dy) ** 0.5
+    ux, uy = dx / norm, dy / norm
+    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
+    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
+    d = F.abs(F.lit(ux) * (py - F.lit(float(oy))) - F.lit(uy) * (px - F.lit(float(ox))))
+    return samples.filter(d <= F.lit(float(dist)))
+
+
+# ---------------------------------------------------------------------------
+# J9 Sample.Positions — point-lookup join (Query.fs:645-793)
+# ---------------------------------------------------------------------------
+
+def sample_positions(samples: DataFrame, positions: DataFrame) -> DataFrame:
+    """For each position (px, py), the sample cell containing it.
+
+    The reference routes positions down the tree by quadrant
+    (Query.fs:674-685) — hash partitioning by computed cell key does the same
+    in one shuffle. At merge nodes it keeps the *more detailed* result
+    (Query.fs:689-739); with merges resolved at build time, that reduces to
+    "finest exponent wins" per position, a ranking window.
+
+    positions: DataFrame (pid, px, py) — broadcast (query point sets are small
+    relative to samples; for huge point sets drop the hint and let AQE pick).
+    Returns (pid, px, py, cx, cy, e, <layers...>).
+    """
+    exps = [r[0] for r in samples.select("e").distinct().collect()]
+    cand = None
+    for e in exps:
+        c = positions.select(
+            "pid",
+            "px",
+            "py",
+            C.cell_coord(F.col("px"), e).alias("cx"),
+            C.cell_coord(F.col("py"), e).alias("cy"),
+            F.lit(e).cast("int").alias("e"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    hit = samples.join(F.broadcast(cand), ["cx", "cy", "e"], "inner")
+    w = W.partitionBy("pid").orderBy(F.col("e").asc())
+    return hit.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion (north-star extension built on J9)
+# ---------------------------------------------------------------------------
+
+def knn(
+    samples: DataFrame,
+    px: float,
+    py: float,
+    k: int,
+    ring_exponent: int | None = None,
+    max_rings: int = 64,
+) -> DataFrame:
+    """k nearest samples to (px, py) by Euclidean distance on sample centers.
+
+    Cell-ring expansion: probe growing Chebyshev rings of cells at
+    ``ring_exponent`` until >= k candidates are found AND the k-th candidate's
+    distance is covered by the searched radius (correctness guarantee), then
+    exact top-k. Each round is one pruned range scan — no full-table sort.
+    """
+    if ring_exponent is None:
+        ring_exponent = samples.agg(F.max("e")).collect()[0][0]
+    side = 2.0 ** ring_exponent
+    ccx, ccy = int(px // side), int(py // side)
+
+    qx = C.sample_pos(F.col("cx"), F.col("e"), 0.5)
+    qy = C.sample_pos(F.col("cy"), F.col("e"), 0.5)
+    dist = F.sqrt(
+        (qx - F.lit(float(px))) * (qx - F.lit(float(px)))
+        + (qy - F.lit(float(py))) * (qy - F.lit(float(py)))
+    )
+
+    r = 1
+    while r <= max_rings:
+        # box of cells within Chebyshev radius r at ring_exponent
+        lo_x, hi_x = (ccx - r) * side, (ccx + r + 1) * side
+        lo_y, hi_y = (ccy - r) * side, (ccy + r + 1) * side
+        cand = inside_box(samples, lo_x, lo_y, hi_x, hi_y).withColumn("dist", dist)
+        top = cand.orderBy(F.col("dist").asc(), F.col("cx"), F.col("cy")).limit(k)
+        rows = top.collect()
+        # guarantee: the k-th distance must fit inside the searched square's
+        # inscribed circle, else a closer sample could sit just outside
+        guaranteed = r * side
+        if len(rows) >= k and rows[-1]["dist"] <= guaranteed:
+            return top
+        r *= 2
+    return samples.withColumn("dist", dist).orderBy(F.col("dist").asc(), F.col("cx"), F.col("cy")).limit(k)

@@ -1,0 +1,113 @@
+"""Query goldens — exact counts/values from Tests/QueryTests.fs:25-277."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aardvark_geometry_quadtree_spark.operators import query as Q
+
+
+def test_all(q10x7):
+    assert Q.query_all(q10x7).count() == 70  # QueryTests.fs:25-32
+
+
+def test_inside_cell_fully_inside(q10x7):
+    assert Q.inside_cell(q10x7, 0, 0, 4).count() == 70
+
+
+def test_inside_cell_fully_outside(q10x7):
+    assert Q.inside_cell(q10x7, 1, 0, 4).count() == 0
+
+
+def test_inside_cell_partial(q10x7):
+    assert Q.inside_cell(q10x7, 0, 0, 3).count() == 56
+
+
+def test_inside_cell_exact_match(q10x7):
+    rows = Q.inside_cell(q10x7, 2, 1, 0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cx"], r["cy"], r["e"]) == (2, 1, 0)
+    assert r["height"] == pytest.approx(2.01, abs=1e-6)
+
+
+def test_inside_cell_supersampling_returns_nothing(q10x7):
+    # a finer query cell contains no full sample (QueryTests.fs:83-88)
+    assert Q.inside_cell(q10x7, 4, 2, -1).count() == 0
+
+
+def test_intersects_cell(q10x7):
+    assert Q.intersects_cell(q10x7, 0, 0, 4).count() == 70
+    assert Q.intersects_cell(q10x7, 1, 0, 4).count() == 0
+    assert Q.intersects_cell(q10x7, 0, 0, 3).count() == 56
+    rows = Q.intersects_cell(q10x7, 2, 1, 0).collect()
+    assert len(rows) == 1 and rows[0]["height"] == pytest.approx(2.01, abs=1e-6)
+
+
+def test_intersects_cell_supersampling_returns_parent(q10x7):
+    # QueryTests.fs:122-133: finer query cell returns the coarser sample
+    rows = Q.intersects_cell(q10x7, 4, 2, -1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cx"], r["cy"], r["e"]) == (2, 1, 0)
+    assert r["height"] == pytest.approx(2.01, abs=1e-6)
+
+
+def test_inside_box(q10x7):
+    assert Q.inside_box(q10x7, 0, 0, 10, 7).count() == 70
+    assert Q.inside_box(q10x7, 10, 1, 100, 100).count() == 0
+    assert Q.inside_box(q10x7, -1, -1, 5, 3).count() == 15  # QueryTests.fs:150-157
+
+
+def test_inside_polygon(q10x7):
+    poly_in = [(3.9, -0.1), (10.1, -0.1), (10.1, 7.1), (8.1, 7.1), (8.1, 4.1), (3.9, 4.1)]
+    assert Q.inside_polygon(q10x7, poly_in).count() == 30
+    poly_out = [(4, 7), (10, 8), (6, 15)]
+    assert Q.inside_polygon(q10x7, poly_out).count() == 0
+    poly_part = [(0, 0), (5, 0), (4, 4), (4.0, 4.5), (0, 4)]
+    assert Q.inside_polygon(q10x7, poly_part).count() == 18
+
+
+def test_near_line(q10x7):
+    import math
+
+    n = math.hypot(10, 7)
+    assert Q.near_line(q10x7, 0, 0, 10 / n, 7 / n, 10.0).count() == 70
+    assert Q.near_line(q10x7, 10, -2, 10 / n, 7 / n, 1.0).count() == 0
+    assert Q.near_line(q10x7, 0, 0, 3 / 5, 4 / 5, 1.0).count() == 16
+
+
+def test_positions(spark, q10x7):
+    pts = [(0, 0.0, 0.0), (1, 0.4, 0.6), (2, 1.0, 2.0), (3, 3.5, 2.1), (4, 9.9, 6.9)]
+    pos = spark.createDataFrame(pts, "pid int, px double, py double")
+    got = {r["pid"]: (r["cx"], r["cy"], r["e"]) for r in Q.sample_positions(q10x7, pos).collect()}
+    assert got == {0: (0, 0, 0), 1: (0, 0, 0), 2: (1, 2, 0), 3: (3, 2, 0), 4: (9, 6, 0)}
+    # out-of-bounds probes return nothing (QueryTests.fs:233-237)
+    out = spark.createDataFrame(
+        [(0, -1.0, -2.0), (1, 0.5, 8.0), (2, 10.0, 0.0), (3, 10.0, 7.0), (4, 0.0, 7.0)],
+        "pid int, px double, py double",
+    )
+    assert Q.sample_positions(q10x7, out).count() == 0
+
+
+def test_knn(q10x7):
+    rows = Q.knn(q10x7, 0.0, 0.0, 3).collect()
+    assert len(rows) == 3
+    assert (rows[0]["cx"], rows[0]["cy"]) == (0, 0)
+    got = {(r["cx"], r["cy"]) for r in rows}
+    assert got == {(0, 0), (1, 0), (0, 1)}
+
+
+def test_lod_cut(spark):
+    from aardvark_geometry_quadtree_spark.sources.grids import grid
+
+    fine = grid(spark, 0, 0, 4, 4, e=0, pattern="const", value=1.0)
+    coarse = grid(spark, 0, 0, 4, 4, e=1, pattern="const", value=2.0)  # covers [0,8)^2
+    both = fine.unionByName(coarse)
+    # min_exponent=0: fine shadows the coarse cells it covers -> 16 fine + 12 coarse
+    cut = Q.lod_cut(both, 0)
+    assert cut.count() == 28
+    assert cut.filter(F.col("e") == 0).count() == 16
+    # min_exponent=1: only the coarse level qualifies
+    cut1 = Q.lod_cut(both, 1)
+    assert cut1.count() == 16
+    assert cut1.filter(F.col("e") == 1).count() == 16
