@@ -1,0 +1,256 @@
+"""Dominance-aware merge — the "writes" of this engine (SURVEY.md §2.4, J11).
+
+The reference's ``Quadtree.Merge dom first second`` (Merge.fs:93-162) touches
+no data: it records an ``InMemoryMerge`` node and defers resolution to query
+traversal (Query.fs:79-338). This engine inverts that deliberately: merges
+are resolved **eagerly at build time** into a plain samples set, amortizing
+the cost across all subsequent queries (a semantics-preserving architectural
+change; the golden outputs in Tests/StructureTests.fs are reproduced
+tile-for-tile by tests/test_merge.py).
+
+Resolution semantics (Query.fs:79-196 ``mergeDominatingPerSample``):
+- every sample of the *dominating* side passes through;
+- a dominated sample fully covered by a beating sample is dropped;
+- a dominated sample partially covered is recursively split into quadrants
+  ("SubCellsSelected" fragments, Query.fs:134-168): fragments fully covered
+  drop, disjoint fragments survive *valued from their coarse parent*
+  (the parent-fallback read, Query.fs:64-73).
+
+Dominance (Node.fs:12-23): First/SecondDominates = that side beats on any
+overlap; MoreDetailedOrFirst/Second = the finer sample beats, ties go to
+the named side.
+
+Distributed shape: the overlap relation between cells is ancestor/descendant,
+so beat-pairs come from equi-joins on computed ancestor keys over the (few)
+distinct exponents — no theta join, no explosion. Only the boundary cells
+enter the Python refinement kernel (Arrow-batched mapInPandas); fully-inside
+and fully-outside cells are classified by Catalyst joins. The reference's
+``Merge.winner`` fast path (Merge.fs:80-88) falls out for free: a fully
+covered side simply loses every cell in the covered-anti-join.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+
+
+class Dominance(str, Enum):
+    FirstDominates = "first"
+    SecondDominates = "second"
+    MoreDetailedOrFirst = "more_detailed_or_first"
+    MoreDetailedOrSecond = "more_detailed_or_second"
+
+    @property
+    def flipped(self) -> "Dominance":
+        """Node.fs:18-23."""
+        return {
+            Dominance.FirstDominates: Dominance.SecondDominates,
+            Dominance.SecondDominates: Dominance.FirstDominates,
+            Dominance.MoreDetailedOrFirst: Dominance.MoreDetailedOrSecond,
+            Dominance.MoreDetailedOrSecond: Dominance.MoreDetailedOrFirst,
+        }[self]
+
+
+def _beats(dom: Dominance, x_e, x_src, y_e):
+    """Column predicate: does overlapping sample x beat sample y?
+    (x_src != y_src by construction)."""
+    if dom == Dominance.FirstDominates:
+        return x_src == 1
+    if dom == Dominance.SecondDominates:
+        return x_src == 2
+    if dom == Dominance.MoreDetailedOrFirst:
+        return (x_e < y_e) | ((x_e == y_e) & (x_src == 1))
+    return (x_e < y_e) | ((x_e == y_e) & (x_src == 2))
+
+
+def merge_samples(
+    first: DataFrame,
+    second: DataFrame,
+    dominance: Dominance | str = Dominance.FirstDominates,
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """Eagerly resolved merge of two samples sets (binary, chainable).
+
+    Inputs are samples frames ``(cx, cy, e, <layers...>)`` (each internally
+    non-overlapping — a valid tree / prior merge result). Output is again a
+    non-overlapping samples frame with mixed exponents (fragments keep the
+    dominated side's coarse values).
+    """
+    dominance = Dominance(dominance)
+    key = ("cx", "cy", "e")
+    layers = layers or [c for c in first.columns if c not in key and c != "patch_id"]
+    a = first.select(*key, *[F.col(c) for c in layers if c in first.columns])
+    b = second.select(*key, *[F.col(c) for c in layers if c in second.columns])
+    u = (
+        a.withColumn("src", F.lit(1))
+        .unionByName(b.withColumn("src", F.lit(2)), allowMissingColumns=True)
+        .withColumn("_id", F.monotonically_increasing_id())
+    )
+    # materialize and truncate lineage: chained merges would otherwise stack
+    # join+kernel plans exponentially; at cluster scale this is the natural
+    # checkpoint boundary of a build job (persisted tiles table per stage)
+    u = u.localCheckpoint()
+
+    exps = {1: set(), 2: set()}
+    for r in u.select("src", "e").distinct().collect():
+        exps[r[0]].add(r[1])
+    exps = {k: sorted(v) for k, v in exps.items()}
+
+    # --- overlap pairs: (descendant d, ancestor-or-equal a) across sides ----
+    # for each row, its ancestor key at every opposite-side exponent >= own e
+    anc_parts = []
+    for src_val, other in ((1, exps[2]), (2, exps[1])):
+        rows = u.filter(F.col("src") == src_val)
+        for ex in other:
+            anc_parts.append(
+                rows.filter(F.col("e") <= F.lit(ex)).select(
+                    F.col("_id").alias("d_id"),
+                    F.col("cx").alias("d_cx"),
+                    F.col("cy").alias("d_cy"),
+                    F.col("e").alias("d_e"),
+                    F.col("src").alias("d_src"),
+                    C.parent_coord(F.col("cx"), (F.lit(ex) - F.col("e")).cast("int")).alias("a_cx"),
+                    C.parent_coord(F.col("cy"), (F.lit(ex) - F.col("e")).cast("int")).alias("a_cy"),
+                    F.lit(ex).cast("int").alias("a_e"),
+                    F.lit(3 - src_val).alias("a_src"),
+                )
+            )
+    if not anc_parts:
+        return u.select(*key, *layers)
+    anc = anc_parts[0]
+    for p in anc_parts[1:]:
+        anc = anc.unionByName(p)
+
+    other_keys = u.select(
+        F.col("_id").alias("a_id"),
+        F.col("cx").alias("a_cx"),
+        F.col("cy").alias("a_cy"),
+        F.col("e").alias("a_e"),
+        F.col("src").alias("a_src"),
+    )
+    pairs = anc.join(other_keys, ["a_cx", "a_cy", "a_e", "a_src"], "inner").cache()
+
+    # identical cells generate the pair twice (once per direction); the beat
+    # rule is antisymmetric so each judgment is still one-directional
+    covered_ids = (
+        pairs.filter(_beats(dominance, F.col("a_e"), F.col("a_src"), F.col("d_e")))
+        .select(F.col("d_id").alias("_id"))
+        .distinct()
+    )
+    # strict descendants that beat their ancestor -> the ancestor fragments
+    beaters = (
+        pairs.filter(
+            (F.col("d_e") < F.col("a_e"))
+            & _beats(dominance, F.col("d_e"), F.col("d_src"), F.col("a_e"))
+        )
+        .join(covered_ids.withColumnRenamed("_id", "a_id"), ["a_id"], "left_anti")
+        .groupBy("a_id")
+        .agg(
+            F.collect_list("d_cx").alias("b_cx"),
+            F.collect_list("d_cy").alias("b_cy"),
+            F.collect_list("d_e").alias("b_e"),
+        )
+        .withColumnRenamed("a_id", "_id")
+    )
+
+    survivors = u.join(covered_ids, ["_id"], "left_anti")
+    frag_in = survivors.join(beaters, ["_id"], "inner")
+    passthrough = survivors.join(beaters.select("_id"), ["_id"], "left_anti").select(
+        *key, *layers
+    )
+
+    # --- refinement kernel: quadtree decomposition of cell minus beaters ----
+    out_schema = ", ".join(
+        ["cx long", "cy long", "e int"]
+        + [f"{name} {t}" for name, t in frag_in.select(*layers).dtypes]
+    )
+
+    def _refine(iterator):
+        for pdf in iterator:
+            out_rows: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                bcx = np.asarray(row.b_cx, dtype=np.int64)
+                bcy = np.asarray(row.b_cy, dtype=np.int64)
+                be = np.asarray(row.b_e, dtype=np.int64)
+                vals = tuple(getattr(row, name) for name in layers)
+                stack = [(int(row.cx), int(row.cy), int(row.e))]
+                while stack:
+                    cx, cy, e = stack.pop()
+                    # beater contains fragment (Query.fs isDominatedCellYcFullyCovered)
+                    k_up = be - e
+                    up = k_up >= 0
+                    if np.any(up & (np.right_shift(cx, np.where(up, k_up, 0)) == bcx)
+                              & (np.right_shift(cy, np.where(up, k_up, 0)) == bcy)):
+                        continue  # fully covered -> discard
+                    # beater strictly inside fragment -> split (Query.fs resolve)
+                    k_dn = e - be
+                    dn = k_dn > 0
+                    if np.any(dn & (np.right_shift(bcx, np.where(dn, k_dn, 0)) == cx)
+                              & (np.right_shift(bcy, np.where(dn, k_dn, 0)) == cy)):
+                        for q in range(4):
+                            stack.append((cx * 2 + (q & 1), cy * 2 + (q >> 1), e - 1))
+                        continue
+                    out_rows.append((cx, cy, e) + vals)
+            cols = ["cx", "cy", "e", *layers]
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+            else:
+                yield pd.DataFrame({c: [] for c in cols})
+
+    fragments = frag_in.select("cx", "cy", "e", *layers, "b_cx", "b_cy", "b_e").mapInPandas(
+        _refine, out_schema
+    )
+    return passthrough.unionByName(fragments)
+
+
+# ---------------------------------------------------------------------------
+# M2/M3: same-resolution merge and multi-resolution flatten (Builder path)
+# ---------------------------------------------------------------------------
+
+def merge_layers(patches: DataFrame, layers: list[str], order_col: str = "patch_id") -> DataFrame:
+    """Same-exponent multi-patch paint: first writer wins unless its value is
+    undefined (Layer.fs:360-446 mergeTyped). Undefined = SQL NULL (normalize
+    NaN/INT_MIN upstream via the registry). One hash aggregation with
+    map-side combine; per-layer winner via max_by priority."""
+    aggs = []
+    for name in layers:
+        pri = F.struct(F.col(name).isNotNull().alias("def"), (-F.col(order_col)).alias("o"))
+        aggs.append(F.max_by(F.col(name), pri).alias(name))
+    return patches.groupBy("cx", "cy", "e").agg(*aggs)
+
+
+def flatten_patches(
+    patches: DataFrame,
+    layers: list[str],
+    order_col: str = "patch_id",
+    target_e: int | None = None,
+) -> DataFrame:
+    """Multi-resolution flatten (Layer.fs:454-560 flattenTyped; the Builder's
+    build'' stop rule, Builder.fs:180-183): supersample all patches to the
+    finest exponent, then paint coarse -> fine so the last non-undefined
+    writer wins — i.e. winner priority (defined, finer e, later patch).
+    """
+    from .pyramid import supersample_to
+
+    if target_e is None:
+        target_e = patches.agg(F.min("e")).collect()[0][0]
+    src = patches.select("cx", "cy", "e", *layers, order_col).withColumn(
+        "_orig_e", F.col("e")  # captured before supersampling rewrites e
+    )
+    flat = supersample_to(src, target_e)
+    aggs = []
+    for name in layers:
+        pri = F.struct(
+            F.col(name).isNotNull().alias("def"),
+            (-F.col("_orig_e")).alias("fine"),
+            F.col(order_col).alias("o"),
+        )
+        aggs.append(F.max_by(F.col(name), pri).alias(name))
+    return flat.groupBy("cx", "cy", "e").agg(*aggs)

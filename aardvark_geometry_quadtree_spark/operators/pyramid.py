@@ -1,0 +1,106 @@
+"""LoD pyramid build (A1) and supersampling (A2).
+
+The reference downsamples 2x2 -> 1 per layer type (Sampling.fs:16-135) when
+generating LoD layers; the pyramid over the cell hierarchy is exactly a
+rollup: ``groupBy(cx >> 1, cy >> 1, e + 1).agg(<per-type mean>)`` iterated
+per level. Each level is one shuffle over a 4x smaller key set, so the whole
+pyramid costs ~1.33x the base aggregation (geometric series) — the same
+"slightly more than 1/3" overhead the reference claims for LoD storage
+(README.md:137).
+
+Supersample duplicates a value into its 4 children with no interpolation
+(Layer.fs:210-241); subsampling via resample is explicitly unsupported in
+the reference (Layer.fs:249-250) and likewise not offered here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import SEMANTICS, Semantic
+
+
+def _semantic_for(col: str, semantics: dict[str, Semantic] | None) -> Semantic:
+    reg = semantics or SEMANTICS
+    if col in reg:
+        return reg[col]
+    return Semantic(col, "double", float("nan"))
+
+
+def downsample_once(
+    samples: DataFrame,
+    layers: list[str] | None = None,
+    semantics: dict[str, Semantic] | None = None,
+) -> DataFrame:
+    """One pyramid level: aggregate each 2x2 block of cells into its parent.
+
+    Averages the *defined* children per layer (NaN holes normalized to NULL
+    first, so avg ignores them) — matching the reference resamplers'
+    per-type means (Sampling.fs:18-74) with partial map-side aggregation.
+    """
+    layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    aggs = []
+    for name in layers:
+        sem = _semantic_for(name, semantics)
+        aggs.append(sem.downsample(sem.normalize(F.col(name))).alias(name))
+    return (
+        samples.groupBy(
+            F.shiftright("cx", 1).alias("cx"),
+            F.shiftright("cy", 1).alias("cy"),
+            (F.col("e") + 1).cast("int").alias("e"),
+        )
+        .agg(*aggs)
+    )
+
+
+def build_pyramid(
+    samples: DataFrame,
+    levels: int,
+    layers: list[str] | None = None,
+    semantics: dict[str, Semantic] | None = None,
+    include_base: bool = True,
+) -> DataFrame:
+    """Base samples + ``levels`` coarser LoD levels, unioned into one frame.
+
+    Driver loop, one shuffle per level (Quadtree LoD generation inverted
+    bottom-up; SURVEY.md §2.5 A1). The result is the multi-level samples
+    table queried with ``lod_cut`` / ``min_exponent``.
+    """
+    out = samples if include_base else None
+    lvl = samples
+    for _ in range(levels):
+        lvl = downsample_once(lvl, layers, semantics)
+        out = lvl if out is None else out.unionByName(lvl, allowMissingColumns=True)
+    return out
+
+
+def supersample_once(samples: DataFrame) -> DataFrame:
+    """Duplicate every sample into its 4 children (Layer.fs:210-241) —
+    a JVM-side explode, each child keeps the parent's value."""
+    q = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("q")
+    df = samples.select("*", q)
+    return (
+        df.withColumn("cx", F.shiftleft("cx", 1) + F.pmod("q", F.lit(2)))
+        .withColumn("cy", F.shiftleft("cy", 1) + (F.col("q") / 2).cast("long"))
+        .withColumn("e", (F.col("e") - 1).cast("int"))
+        .drop("q")
+    )
+
+
+def supersample_to(samples: DataFrame, target_e: int) -> DataFrame:
+    """Supersample every row down to ``target_e`` (rows already at or below
+    pass through unchanged only if exactly at target; finer input is an
+    error, mirroring Layer.Resample's unsupported-subsample rule)."""
+    exps = [r[0] for r in samples.select("e").distinct().collect()]
+    if min(exps) < target_e:
+        raise ValueError("cannot subsample finer data to a coarser target")
+    out = samples.filter(F.col("e") == target_e)
+    for e in sorted(set(exps)):
+        if e == target_e:
+            continue
+        lvl = samples.filter(F.col("e") == e)
+        for _ in range(e - target_e):
+            lvl = supersample_once(lvl)
+        out = out.unionByName(lvl)
+    return out
