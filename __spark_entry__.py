@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2) over the driver's
+parquet tables; ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL. The
+shared derivation is a deterministic geocode of the ``documents`` table into
+quadtree sample cells (doc_id-arithmetic, identical in both engines):
+
+    cx = (doc_id*73) % 997 - 498,  cy = (doc_id*179) % 991 - 495,  e = 0
+    height = avg(n_chars) per cell, n_docs = count per cell
+
+so quadtree build/merge/query semantics are oracle-checkable end-to-end.
+All doubles are rounded to 6 decimals on output in BOTH engines; integer
+keys are bigint in both. DuckDB notes: ``>>`` is an arithmetic shift (floor,
+matches Spark shiftright); ``//`` truncates and is never used.
 """
 
 from __future__ import annotations
@@ -12,27 +19,642 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aardvark_geometry_quadtree_spark.functions import cells as C
+from aardvark_geometry_quadtree_spark.operators import query as Q
+from aardvark_geometry_quadtree_spark.operators.build import build_tiles
+from aardvark_geometry_quadtree_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    minhash_table,
+    simhash16,
+    word_shingles,
+)
+from aardvark_geometry_quadtree_spark.operators.merge import Dominance, merge_samples
+from aardvark_geometry_quadtree_spark.operators.multimodal import extract_features, synth_media
+from aardvark_geometry_quadtree_spark.operators.pyramid import build_pyramid, downsample_once
+from aardvark_geometry_quadtree_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine,
+    embedding_dup_pairs,
+    hyperplanes,
+)
+from aardvark_geometry_quadtree_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doc_samples(spark: SparkSession, sf_dir: str, source: str | None = None) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    if source is not None:
+        d = d.filter(F.col("source") == source)
+    return (
+        d.select(
+            ((F.col("doc_id") * 73) % 997 - 498).cast("long").alias("cx"),
+            ((F.col("doc_id") * 179) % 991 - 495).cast("long").alias("cy"),
+            F.lit(0).cast("long").alias("e"),
+            F.col("n_chars").cast("double").alias("tl"),
+        )
+        .groupBy("cx", "cy", "e")
+        .agg(F.avg("tl").alias("height"), F.count("*").alias("n_docs"))
+    )
+
+
+_SAMPLES_SQL = """
+  SELECT cx, cy, e, avg(tl) AS height, count(*) AS n_docs FROM (
+    SELECT (doc_id*73) %% 997 - 498 AS cx,
+           (doc_id*179) %% 991 - 495 AS cy,
+           CAST(0 AS BIGINT) AS e,
+           CAST(n_chars AS DOUBLE) AS tl
+    FROM documents{where}) GROUP BY cx, cy, e
+""".replace("%%", "%")
+
+
+def _samples_sql(source: str | None = None) -> str:
+    where = f" WHERE source = '{source}'" if source else ""
+    return _SAMPLES_SQL.format(where=where)
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+_POLY = [(-300.3, -300.7), (300.1, -250.2), (250.4, 300.8), (-250.9, 250.1)]  # CCW convex
+_PROBES = [(0, 10.5, 20.5), (1, -100.2, 50.9), (2, 498.4, 495.5), (3, 0.0, 0.0), (4, -498.0, -495.0)]
+_N_PLANES = 6
+_EMB_DIM = 64
+
+
+def _half_planes_sql(px: str, py: str) -> str:
+    conds = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        conds.append(
+            f"(({x2}-({x1}))*(({py})-({y1})) - ({y2}-({y1}))*(({px})-({x1})) >= 0)"
+        )
+    return " AND ".join(conds)
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1,{dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _plane_lit(p: list[float]) -> str:
+    return "[" + ",".join(str(v) for v in p) + "]"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_cell_encode(spark, sf_dir):
+    """F2/S9: deterministic geocode -> cell encode -> per-cell aggregate."""
+    return _r6(_doc_samples(spark, sf_dir), "height")
+
+
+def q_tile_stats(spark, sf_dir):
+    """S1/A4/A5: tile build at split=3 with exact bounding box + occupancy."""
+    t = build_tiles(_doc_samples(spark, sf_dir).drop("n_docs"), split=3, layers=["height"])
+    return t.select(
+        F.col("tile_cx").cast("long").alias("tile_cx"),
+        F.col("tile_cy").cast("long").alias("tile_cy"),
+        F.col("tile_e").cast("long").alias("tile_e"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("ebb_min_cx").cast("long").alias("ebb_min_cx"),
+        F.col("ebb_min_cy").cast("long").alias("ebb_min_cy"),
+        F.col("ebb_max_cx").cast("long").alias("ebb_max_cx"),
+        F.col("ebb_max_cy").cast("long").alias("ebb_max_cy"),
+    )
+
+
+def q_pyramid_l2(spark, sf_dir):
+    """A1: two LoD levels of avg-of-avg downsampling."""
+    s = _doc_samples(spark, sf_dir).drop("n_docs")
+    l1 = downsample_once(s, ["height"])
+    l2 = downsample_once(l1, ["height"])
+    return _r6(l2.select(F.col("cx"), F.col("cy"), F.col("e").cast("long").alias("e"), "height"), "height")
+
+
+def q_inside_box(spark, sf_dir):
+    """J6: InsideBox range predicate on sample centers."""
+    s = _doc_samples(spark, sf_dir)
+    return _r6(Q.inside_box(s, -50.0, -80.0, 120.0, 60.0), "height")
+
+
+def q_inside_cell(spark, sf_dir):
+    """J4: InsideCell containment (query cell (−2,−2,7) covers [-256,-128)^2)."""
+    s = _doc_samples(spark, sf_dir)
+    return _r6(Q.inside_cell(s, -2, -2, 7), "height")
+
+
+def q_intersects_cell(spark, sf_dir):
+    """J5: IntersectsCell incl. supersampling fallback — the query cell is
+    finer than the data, so the coarser containing sample is returned
+    (doc_id=0 geocodes to (-498,-495,0); query is a depth-2 child of it)."""
+    s = _doc_samples(spark, sf_dir)
+    return _r6(Q.intersects_cell(s, -1991, -1978, -2), "height")
+
+
+def q_inside_polygon(spark, sf_dir):
+    """J7: point-in-polygon join (convex CCW polygon, plan-time expression)."""
+    s = _doc_samples(spark, sf_dir)
+    return _r6(Q.inside_polygon(s, _POLY), "height")
+
+
+def q_near_line(spark, sf_dir):
+    """J8: NearLine cross-product distance predicate."""
+    s = _doc_samples(spark, sf_dir)
+    return _r6(Q.near_line(s, 0.0, 0.0, 0.6, 0.8, 25.0), "height")
+
+
+def q_point_lookup(spark, sf_dir):
+    """J9: Sample.Positions point-lookup join."""
+    s = _doc_samples(spark, sf_dir)
+    pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
+    r = Q.sample_positions(s, pos)
+    return _r6(r.select("pid", "cx", "cy", "e", "height", "n_docs"), "height")
+
+
+def q_knn(spark, sf_dir):
+    """J9+: kNN via cell-ring expansion, exact top-10 by center distance."""
+    s = _doc_samples(spark, sf_dir).drop("n_docs")
+    r = Q.knn(s, 0.0, 0.0, 10, ring_exponent=4)
+    return _r6(r.select("cx", "cy", "e", "height", "dist"), "height", "dist")
+
+
+def q_merge_dominance(spark, sf_dir):
+    """M1 same-resolution: FirstDominates winner per cell across two patches."""
+    p1 = _doc_samples(spark, sf_dir, "src0")
+    p2 = _doc_samples(spark, sf_dir, "src1")
+    m = merge_samples(p1, p2, Dominance.FirstDominates, layers=["height", "n_docs"])
+    return _r6(m, "height")
+
+
+def q_merge_mixed_res(spark, sf_dir):
+    """M1+J11: mixed-resolution merge — fine e0 patch dominates a coarse e1
+    patch; partially-covered coarse cells fragment into uncovered children."""
+    fine = _doc_samples(spark, sf_dir, "src0").drop("n_docs")
+    coarse = downsample_once(_doc_samples(spark, sf_dir, "src1").drop("n_docs"), ["height"])
+    m = merge_samples(coarse, fine, Dominance.MoreDetailedOrFirst, layers=["height"])
+    return _r6(m.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
+
+
+def q_lod_cut(spark, sf_dir):
+    """J3 + MinExponent: per-location finest level of a 2-level pyramid."""
+    s = _doc_samples(spark, sf_dir, "src2").drop("n_docs")
+    pyr = build_pyramid(s, levels=1, layers=["height"])
+    cut = Q.lod_cut(pyr, 0)
+    return _r6(cut.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
+
+
+def q_ebb_stats(spark, sf_dir):
+    """A3/A4: global exact-bounding-box and occupancy statistics."""
+    s = _doc_samples(spark, sf_dir)
+    return s.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_docs").alias("n_docs"),
+        F.min("cx").alias("ebb_min_cx"),
+        F.min("cy").alias("ebb_min_cy"),
+        (F.max("cx") + 1).alias("ebb_max_cx"),
+        (F.max("cy") + 1).alias("ebb_max_cy"),
+        F.round(F.avg("height"), 6).alias("mean_height"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dups(spark, sf_dir):
+    """Exact dedup over the corpus plus a deterministic re-crawl copy
+    (ids shifted by 10^6) — every text becomes a duplicate group."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return exact_duplicates(d.unionByName(recrawl))
+
+
+def q_minhash(spark, sf_dir):
+    mh = minhash_table(_docs(spark, sf_dir), "doc_id", "text", k=4)
+    return mh.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(_docs(spark, sf_dir), k=8, bands=4)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(d, k=8, bands=4)
+    return ngram_jaccard_pairs(d, cand, threshold=0.0)
+
+
+def q_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(v) for v in row[0]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    return brute_force_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-10 (ring probe, Hamming<=1)."""
+    return ann_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_planes=_N_PLANES)
+
+
+def q_embed_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH candidates, exact verify)."""
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35, n_planes=_N_PLANES)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synth media -> mapInPandas feature extraction
+    (stub decoder, deterministic in payload bytes)."""
+    m = extract_features(synth_media(spark, 200), fake=True)
+    cols = [F.round(F.element_at("feat", i + 1), 6).alias(f"f{i}") for i in range(8)]
+    return m.select("media_id", "n_bytes", *cols)
+
+
+def q_webpages_ingest(spark, sf_dir):
+    """Graft ingest (no oracle: xxhash64 geocode): synth web pages -> geocode
+    -> samples; returns per-cell tile assignment at split=4."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import (
+        geocode,
+        pages_to_samples,
+        synth_webpages,
+    )
+
+    pages = synth_webpages(spark, 20_000, nsites=200, skew=1.5)
+    s = pages_to_samples(geocode(pages, extent=1024.0), e=0)
+    return build_tiles(s.drop("n_pages"), split=4, layers=["height"])
+
+
+def q_text_identity(spark, sf_dir):
+    """input_hint invariant: byte-identical text per url between the raw
+    pages and an html-roundtrip pipeline (no oracle: xxhash64 synth)."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import synth_webpages, text_hash_check
+
+    pages = synth_webpages(spark, 5_000, nsites=100)
+    rt = pages.withColumn(
+        "text",
+        F.regexp_replace(F.decode("html", "utf-8"), r"</?(html|body)>", ""),
+    )
+    n_bad = text_hash_check(pages, rt)
+    return spark.createDataFrame([(n_bad,)], "n_text_mismatches long")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline on sf0.001 — geocode -> merge two sources with
+    dominance -> LoD pyramid -> polygon query over the merged multi-level set."""
+    sf_dir = "/root/testdata/sf0.001"
+    p1 = _doc_samples(spark, sf_dir, "src0")
+    p2 = _doc_samples(spark, sf_dir, "src1")
+    m = merge_samples(p1, p2, Dominance.FirstDominates, layers=["height", "n_docs"])
+    pyr = build_pyramid(m.drop("n_docs"), levels=2, layers=["height"])
+    return Q.inside_polygon(Q.lod_cut(pyr, 0), _POLY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cell_encode": q_cell_encode,
+        "tile_stats": q_tile_stats,
+        "pyramid_l2": q_pyramid_l2,
+        "inside_box": q_inside_box,
+        "inside_cell": q_inside_cell,
+        "intersects_cell": q_intersects_cell,
+        "inside_polygon": q_inside_polygon,
+        "near_line": q_near_line,
+        "point_lookup": q_point_lookup,
+        "knn": q_knn,
+        "merge_dominance": q_merge_dominance,
+        "merge_mixed_res": q_merge_mixed_res,
+        "lod_cut": q_lod_cut,
+        "ebb_stats": q_ebb_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "exact_dups": q_exact_dups,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "embed_dups": q_embed_dups,
+        "multimodal_features": q_multimodal_features,
+        "webpages_ingest": q_webpages_ingest,
+        "text_identity": q_text_identity,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    S = _samples_sql()
+    S0 = _samples_sql("src0")
+    S1 = _samples_sql("src1")
+    S2 = _samples_sql("src2")
+    probes = ", ".join(f"({p}, CAST({x} AS DOUBLE), CAST({y} AS DOUBLE))" for p, x, y in _PROBES)
+    planes = hyperplanes(_EMB_DIM, _N_PLANES)
+    bucket_sql = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _plane_lit(planes[p]))} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    sh = (
+        "CASE WHEN len(trim(text)) = 0 THEN [trim(text)] "
+        "WHEN len(string_split_regex(trim(text), '\\s+')) < 3 "
+        "THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')] "
+        "ELSE list_transform(generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2), "
+        "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')) END"
+    )
+
+    def mh(i: int) -> str:
+        return f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min')"
+
+    occurrences = (
+        lambda txt, sub: f"CAST((len({txt}) - len(replace({txt}, '{sub}', ''))) / {len(sub)} AS BIGINT)"
+    )
+    padded = "(' ' || lower(text) || ' ')"
+    lang_sql_scores = {
+        lang: " + ".join(occurrences(padded, m) for m in ms)
+        for lang, ms in {
+            "en": [" the ", " and ", " of "],
+            "de": [" der ", " und ", " die "],
+            "fr": [" le ", " et ", " les "],
+            "es": [" el ", " y ", " los "],
+        }.items()
+    }
+
+    return {
+        "cell_encode": f"SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})",
+        "tile_stats": f"""
+            SELECT cx >> 3 AS tile_cx, cy >> 3 AS tile_cy, CAST(3 AS BIGINT) AS tile_e,
+                   count(*) AS n_samples,
+                   min(cx) AS ebb_min_cx, min(cy) AS ebb_min_cy,
+                   max(cx) + 1 AS ebb_max_cx, max(cy) + 1 AS ebb_max_cy
+            FROM ({S}) GROUP BY 1, 2, 3
+        """,
+        "pyramid_l2": f"""
+            WITH l0 AS ({S}),
+            l1 AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
+                   FROM l0 GROUP BY 1, 2, 3)
+            SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(2 AS BIGINT) AS e, round(avg(height), 6) AS height
+            FROM l1 GROUP BY 1, 2, 3
+        """,
+        "inside_box": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE cx + 0.5 >= -50 AND cx + 0.5 <= 120 AND cy + 0.5 >= -80 AND cy + 0.5 <= 60
+        """,
+        "inside_cell": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE (cx >> 7) = -2 AND (cy >> 7) = -2
+        """,
+        "intersects_cell": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE cx = (-1991 >> 2) AND cy = (-1978 >> 2)
+        """,
+        "inside_polygon": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE {_half_planes_sql('cx + 0.5', 'cy + 0.5')}
+        """,
+        "near_line": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE abs(0.6 * (cy + 0.5 - 0.0) - 0.8 * (cx + 0.5 - 0.0)) <= 25.0
+        """,
+        "point_lookup": f"""
+            WITH s AS ({S}), p(pid, px, py) AS (VALUES {probes})
+            SELECT p.pid, s.cx, s.cy, s.e, round(s.height, 6) AS height, s.n_docs
+            FROM p JOIN s ON s.cx = CAST(floor(p.px) AS BIGINT) AND s.cy = CAST(floor(p.py) AS BIGINT)
+        """,
+        "knn": f"""
+            SELECT cx, cy, e, round(height, 6) AS height,
+                   round(sqrt((cx + 0.5) * (cx + 0.5) + (cy + 0.5) * (cy + 0.5)), 6) AS dist
+            FROM ({S})
+            ORDER BY sqrt((cx + 0.5) * (cx + 0.5) + (cy + 0.5) * (cy + 0.5)), cx, cy
+            LIMIT 10
+        """,
+        "merge_dominance": f"""
+            WITH p1 AS ({S0}), p2 AS ({S1})
+            SELECT coalesce(p1.cx, p2.cx) AS cx, coalesce(p1.cy, p2.cy) AS cy,
+                   coalesce(p1.e, p2.e) AS e,
+                   round(coalesce(p1.height, p2.height), 6) AS height,
+                   coalesce(p1.n_docs, p2.n_docs) AS n_docs
+            FROM p1 FULL OUTER JOIN p2 ON p1.cx = p2.cx AND p1.cy = p2.cy AND p1.e = p2.e
+        """,
+        "merge_mixed_res": f"""
+            WITH fine AS (SELECT cx, cy, e, height FROM ({S0})),
+            base1 AS (SELECT cx, cy, e, height FROM ({S1})),
+            coarse AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
+                       FROM base1 GROUP BY 1, 2, 3),
+            hit AS (SELECT c.* FROM coarse c WHERE EXISTS
+                     (SELECT 1 FROM fine f WHERE (f.cx >> 1) = c.cx AND (f.cy >> 1) = c.cy)),
+            clear AS (SELECT c.* FROM coarse c WHERE NOT EXISTS
+                     (SELECT 1 FROM fine f WHERE (f.cx >> 1) = c.cx AND (f.cy >> 1) = c.cy)),
+            frag AS (
+                SELECT c.cx * 2 + (q.q % 2) AS cx, c.cy * 2 + (q.q >> 1) AS cy,
+                       CAST(0 AS BIGINT) AS e, c.height
+                FROM hit c, (VALUES (0), (1), (2), (3)) q(q)
+                WHERE NOT EXISTS (SELECT 1 FROM fine f
+                                  WHERE f.cx = c.cx * 2 + (q.q % 2) AND f.cy = c.cy * 2 + (q.q >> 1))
+            )
+            SELECT cx, cy, e, round(height, 6) AS height FROM fine
+            UNION ALL SELECT cx, cy, e, round(height, 6) FROM clear
+            UNION ALL SELECT cx, cy, e, round(height, 6) FROM frag
+        """,
+        "lod_cut": f"""
+            WITH l0 AS (SELECT cx, cy, e, height FROM ({S2})),
+            l1 AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
+                   FROM l0 GROUP BY 1, 2, 3),
+            keep1 AS (SELECT c.* FROM l1 c WHERE NOT EXISTS
+                      (SELECT 1 FROM l0 f WHERE (f.cx >> 1) = c.cx AND (f.cy >> 1) = c.cy))
+            SELECT cx, cy, e, round(height, 6) AS height FROM l0
+            UNION ALL SELECT cx, cy, e, round(height, 6) FROM keep1
+        """,
+        "ebb_stats": f"""
+            SELECT count(*) AS n_cells, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   min(cx) AS ebb_min_cx, min(cy) AS ebb_min_cy,
+                   max(cx) + 1 AS ebb_max_cx, max(cy) + 1 AS ebb_max_cy,
+                   round(avg(height), 6) AS mean_height
+            FROM ({S})
+        """,
+        "token_count": """
+            SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, CASE
+                WHEN ({lang_sql_scores['en']}) + ({lang_sql_scores['de']})
+                   + ({lang_sql_scores['fr']}) + ({lang_sql_scores['es']}) = 0 THEN 'und'
+                WHEN ({lang_sql_scores['de']}) > ({lang_sql_scores['en']})
+                 AND ({lang_sql_scores['de']}) >= ({lang_sql_scores['fr']})
+                 AND ({lang_sql_scores['de']}) >= ({lang_sql_scores['es']}) THEN 'de'
+                WHEN ({lang_sql_scores['fr']}) > ({lang_sql_scores['en']})
+                 AND ({lang_sql_scores['fr']}) > ({lang_sql_scores['de']})
+                 AND ({lang_sql_scores['fr']}) >= ({lang_sql_scores['es']}) THEN 'fr'
+                WHEN ({lang_sql_scores['es']}) > ({lang_sql_scores['en']})
+                 AND ({lang_sql_scores['es']}) > ({lang_sql_scores['de']})
+                 AND ({lang_sql_scores['es']}) > ({lang_sql_scores['fr']}) THEN 'es'
+                ELSE 'en' END AS lang_pred
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id, CAST(round(
+                least(len(text) / 500.0, 1.0) * 0.6 +
+                (1.0 - least(abs(CASE WHEN len(text) > 0
+                     THEN CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)
+                     ELSE 0.0 END - 0.16) * 4.0, 1.0)) * 0.4, 6) AS DOUBLE) AS quality
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "exact_dups": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM u GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash": f"""
+            WITH t AS (SELECT doc_id, {sh} AS sh FROM documents)
+            SELECT doc_id, {mh(0)} AS mh_0, {mh(1)} AS mh_1, {mh(2)} AS mh_2, {mh(3)} AS mh_3
+            FROM t
+        """,
+        "lsh_pairs": f"""
+            WITH t AS (SELECT doc_id, {sh} AS sh FROM documents),
+            m AS (SELECT doc_id, {mh(0)} AS mh_0, {mh(1)} AS mh_1, {mh(2)} AS mh_2, {mh(3)} AS mh_3,
+                         {mh(4)} AS mh_4, {mh(5)} AS mh_5, {mh(6)} AS mh_6, {mh(7)} AS mh_7 FROM t),
+            k AS (
+                SELECT doc_id AS id, md5(mh_0 || '|' || mh_1) AS band_key FROM m
+                UNION ALL SELECT doc_id, md5(mh_2 || '|' || mh_3) FROM m
+                UNION ALL SELECT doc_id, md5(mh_4 || '|' || mh_5) FROM m
+                UNION ALL SELECT doc_id, md5(mh_6 || '|' || mh_7) FROM m)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM k a JOIN k b ON a.band_key = b.band_key AND a.id < b.id
+        """,
+        "jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents),
+            m AS (SELECT doc_id, {mh(0).replace('sh', 'sh')} AS mh_0, {mh(1)} AS mh_1,
+                         {mh(2)} AS mh_2, {mh(3)} AS mh_3,
+                         {mh(4)} AS mh_4, {mh(5)} AS mh_5, {mh(6)} AS mh_6, {mh(7)} AS mh_7
+                  FROM (SELECT doc_id, {sh} AS sh FROM documents)),
+            k AS (
+                SELECT doc_id AS id, md5(mh_0 || '|' || mh_1) AS band_key FROM m
+                UNION ALL SELECT doc_id, md5(mh_2 || '|' || mh_3) FROM m
+                UNION ALL SELECT doc_id, md5(mh_4 || '|' || mh_5) FROM m
+                UNION ALL SELECT doc_id, md5(mh_6 || '|' || mh_7) FROM m),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM k a JOIN k b ON a.band_key = b.band_key AND a.id < b.id)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+                         len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+            FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
+        """,
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks),
+            bits AS (
+                SELECT doc_id, b.b AS b, sum(((hv >> b.b) & 1) * 2 - 1) AS s
+                FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+                GROUP BY doc_id, b.b)
+            SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "cosine_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round({_dot_sql('embedding', 'qe')} /
+                   (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qe', 'qe')})), 6) AS sim
+            FROM embeddings, q
+            ORDER BY {_dot_sql('embedding', 'qe')} /
+                   (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qe', 'qe')})) DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT embedding AS qe, ({bucket_sql}) AS qbucket
+                       FROM embeddings WHERE vec_id = 0),
+            b AS (SELECT vec_id, embedding, ({bucket_sql}) AS bucket FROM embeddings)
+            SELECT b.vec_id, round({_dot_sql('b.embedding', 'q.qe')} /
+                   (sqrt({_dot_sql('b.embedding', 'b.embedding')}) * sqrt({_dot_sql('q.qe', 'q.qe')})), 6) AS sim
+            FROM b, q
+            WHERE bit_count(CAST(xor(b.bucket, q.qbucket) AS BIGINT)) <= 1
+            ORDER BY {_dot_sql('b.embedding', 'q.qe')} /
+                   (sqrt({_dot_sql('b.embedding', 'b.embedding')}) * sqrt({_dot_sql('q.qe', 'q.qe')})) DESC, b.vec_id
+            LIMIT 10
+        """,
+        "embed_dups": f"""
+            WITH b AS (SELECT vec_id, embedding, ({bucket_sql}) AS bucket FROM embeddings)
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round({_dot_sql('a.embedding', 'c.embedding')} /
+                        (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+                         sqrt({_dot_sql('c.embedding', 'c.embedding')})), 6) AS sim
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE {_dot_sql('a.embedding', 'c.embedding')} /
+                  (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+                   sqrt({_dot_sql('c.embedding', 'c.embedding')})) >= 0.35
+        """,
+        "multimodal_features": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       'image-payload-' || md5(CAST(i AS VARCHAR)) AS payload
+                FROM (SELECT unnest(generate_series(0, 199)) AS i)),
+            d AS (SELECT media_id, payload, md5(payload) AS dig FROM m)
+            SELECT media_id, CAST(len(payload) AS BIGINT) AS n_bytes,
+                   round(('0x' || substr(dig, 1, 2))::INT / 255.0, 6) AS f0,
+                   round(('0x' || substr(dig, 3, 2))::INT / 255.0, 6) AS f1,
+                   round(('0x' || substr(dig, 5, 2))::INT / 255.0, 6) AS f2,
+                   round(('0x' || substr(dig, 7, 2))::INT / 255.0, 6) AS f3,
+                   round(('0x' || substr(dig, 9, 2))::INT / 255.0, 6) AS f4,
+                   round(('0x' || substr(dig, 11, 2))::INT / 255.0, 6) AS f5,
+                   round(('0x' || substr(dig, 13, 2))::INT / 255.0, 6) AS f6,
+                   round(('0x' || substr(dig, 15, 2))::INT / 255.0, 6) AS f7
+            FROM d
+        """,
+        # webpages_ingest / text_identity: xxhash64-based synth -> rows-only check
+    }

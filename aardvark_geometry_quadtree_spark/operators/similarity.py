@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k as one codegen'd pass (zip_with +
+aggregate — no Python, no UDF). Scale path: sign-LSH bucketing with
+deterministic md5-derived hyperplanes (plan-time literal arrays, so the
+same planes are reproducible in the DuckDB oracle and across runs), probing
+only the query's bucket ring. Embedding near-dup pairs reuse the buckets as
+candidate generation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine similarity rounded to ``decimals`` (stable across engines)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: one scan, partial top-k per partition via
+    Spark's ORDER BY + LIMIT (TakeOrderedAndProject — no full sort shuffle).
+    Deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5(seed, plane, dim-index) — no RNG
+    state, identical in any engine/run (the plan embeds them as literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:4], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p = (vec . plane_p) >= 0."""
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(v) for v in plane])
+        out = out + F.when(dot(vec, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``max_hamming`` bits of the query's bucket (bucket ring probe). At scale
+    the bucket column is precomputed and the table is partitioned by it, so
+    the probe is a pruned scan of 1 + n_planes partitions instead of 100 TB.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << p
+    probe = [qb]
+    if max_hamming >= 1:
+        probe += [qb ^ (1 << p) for p in range(n_planes)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates from same-LSH-bucket
+    equi-self-join, verified by exact cosine >= threshold."""
+    dim = embeddings.select(F.size(vec_col)).first()[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    b = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,141 @@
+"""Persistence, export, and checkpoint-resumable stages (S3-S8).
+
+The reference persists nodes to a key/value blob store with id-dedup
+(Serialization.fs:496-515) and loads lazily via OutOfCoreNode thunks
+(:151-164). Spark-side: a tiles/samples table written as Parquet partitioned
+by exponent + bucketed tile hash; "lazy children" = partitions never touched
+by a pruned scan; structural sharing ~ immutable snapshot directories.
+
+Checkpoint-resume (north rule): every pipeline stage runs through
+:func:`stage`, which skips recomputation when the stage's output already
+exists (_SUCCESS marker) — a job killed mid-pipeline resumes from the last
+completed stage. Each stage stamps per-partition lineage
+(stage name, input partition id, row count) queryable via
+:func:`lineage_metrics`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_quadtree_manifest.json"
+
+
+def save_samples(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("e",),
+    n_buckets: int | None = None,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+) -> None:
+    """Persist a samples/tiles frame as Parquet partitioned by exponent
+    (Quadtree.Save analogue, Serialization.fs:496-515).
+
+    Partitioning by ``e`` + optional hash bucket over (cx, cy) gives the
+    same pruning the reference gets from bbox checks: exponent-aligned
+    queries touch one directory; Parquet min/max stats on cx/cy prune
+    row groups within it.
+    """
+    out = df
+    if n_buckets:
+        out = out.withColumn(
+            "bucket", F.pmod(F.xxhash64("cx", "cy"), F.lit(n_buckets)).cast("int")
+        )
+        partition_cols = (*partition_cols, "bucket")
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    manifest = {"partition_cols": list(partition_cols), "columns": df.columns}
+    manifest.update(meta or {})
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_samples(spark: SparkSession, path: str) -> DataFrame:
+    """Quadtree.Load analogue — a lazy pruned scan (Serialization.fs:551-557)."""
+    return spark.read.parquet(path)
+
+
+def load_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def enumerate_keys(spark: SparkSession, path: str) -> DataFrame:
+    """Distinct stored cell keys (Quadtree.EnumerateKeys, Serialization.fs:598-610)."""
+    return load_samples(spark, path).select("cx", "cy", "e").distinct()
+
+
+def export_store(spark: SparkSession, src: str, dst: str, mode: str = "overwrite") -> int:
+    """Copy a stored tree store-to-store with count check
+    (Quadtree.Export, Serialization.fs:613-642). Returns rows copied."""
+    df = load_samples(spark, src)
+    man = load_manifest(src)
+    part = [c for c in man.get("partition_cols", []) if c in df.columns]
+    w = df.write.mode(mode)
+    if part:
+        w = w.partitionBy(*part)
+    w.parquet(dst)
+    with open(os.path.join(dst, MANIFEST), "w") as f:
+        json.dump(man, f, indent=2)
+    return load_samples(spark, dst).count()
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resumable stages with per-partition lineage
+# ---------------------------------------------------------------------------
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def with_lineage(df: DataFrame, stage_name: str) -> DataFrame:
+    """Stamp per-partition lineage: which stage produced the row and from
+    which task partition — the north rule's per-partition lineage column."""
+    return df.withColumn(
+        "_lineage",
+        F.struct(
+            F.lit(stage_name).alias("stage"),
+            F.spark_partition_id().alias("part"),
+        ),
+    )
+
+
+def stage(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    fn: Callable[[], DataFrame],
+    partition_cols: tuple[str, ...] = (),
+    force: bool = False,
+) -> DataFrame:
+    """Run (or resume) one checkpointed pipeline stage.
+
+    If ``path`` already holds a completed write, the stage is skipped and the
+    stored result is returned — crash-resume without recomputation. Otherwise
+    ``fn()`` is computed, lineage-stamped, and written atomically (_SUCCESS
+    marks completion; a partial write without it is overwritten on retry).
+    """
+    out_dir = os.path.join(path, name)
+    if not force and _done(out_dir):
+        return spark.read.parquet(out_dir)
+    df = with_lineage(fn(), name)
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def lineage_metrics(df: DataFrame) -> DataFrame:
+    """Tile-assignment metrics per producing partition (north rule):
+    rows per (stage, partition) — the skew diagnostic for salting decisions."""
+    return (
+        df.groupBy("_lineage.stage", "_lineage.part")
+        .agg(F.count("*").alias("rows"))
+        .orderBy(F.desc("rows"))
+    )

@@ -1,0 +1,104 @@
+"""Common-Crawl-style web-pages input table + deterministic geocode ingest.
+
+The graft's input (BASELINE.json input_hint): an Iceberg-style table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+This module synthesizes it deterministically at any scale (seeded, no
+randomness at verification time — FIXTURES.md §4) and geocodes rows to 2D
+points so web-scale ingest and the grid-fixture goldens share one tiling
+path (the analogue of the reference's .pts point import,
+Scratch/Program.fs:79-157).
+
+Invariant (input_hint): **byte-identical extracted text per url** — text is
+a pure function of url here, and :func:`text_hash_check` verifies the
+pass-through by hash join.
+
+Scale note: generation is ``spark.range``-parallel; the Zipf-ish skew knob
+concentrates urls on hot sites so hot-cell salting paths get exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["en", "de", "fr", "es", "zh", "pt", "ja", "ru"]
+
+_WORDS = [
+    "spark", "table", "query", "merge", "tile", "cell", "raster", "layer",
+    "sample", "height", "window", "filter", "join", "scan", "batch", "page",
+]
+
+
+def synth_webpages(
+    spark: SparkSession,
+    n: int,
+    nsites: int = 1000,
+    skew: float = 1.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic web-pages table of ``n`` rows.
+
+    ``skew`` > 0 concentrates pages on low-numbered sites (a power-law-ish
+    site popularity), producing hot geocoded cells downstream.
+    """
+    df = spark.range(n)
+    # site ~ floor(nsites * u^skew) with u = deterministic uniform in [0,1)
+    u = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+    site = F.floor(F.pow(u, F.lit(float(skew))) * nsites).cast("long")
+    url = F.concat(F.lit("https://site"), site, F.lit(".example/page/"), F.col("id"))
+    # text is a pure function of url -> byte-identical per url by construction
+    toks = F.array(*[F.lit(w) for w in _WORDS])
+    text = F.concat_ws(
+        " ",
+        *[
+            F.element_at(toks, (F.pmod(F.xxhash64(url, F.lit(i)), F.lit(len(_WORDS))) + 1).cast("int"))
+            for i in range(12)
+        ],
+    )
+    return df.select(
+        url.alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("id") * 7)).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "utf-8").alias("html"),
+        text.alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]), (F.pmod(F.col("id"), F.lit(len(LANGS))) + 1).cast("int")).alias("lang"),
+    )
+
+
+def geocode(pages: DataFrame, extent: float = 1024.0, seed: int = 42) -> DataFrame:
+    """Deterministic geocode url -> (x, y) in [0, extent)^2 (documented,
+    FIXTURES.md §4): site-hash picks a region center, page-hash jitters
+    within it. Pure Column arithmetic — no Python per row."""
+    site = F.regexp_extract("url", r"https://site(\d+)\.example", 1).cast("long")
+    hx = F.pmod(F.xxhash64(site, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+    hy = F.pmod(F.xxhash64(site, F.lit(seed + 1)), F.lit(1_000_000)) / 1_000_000.0
+    jx = F.pmod(F.xxhash64("url", F.lit(seed + 2)), F.lit(1_000_000)) / 1_000_000.0
+    jy = F.pmod(F.xxhash64("url", F.lit(seed + 3)), F.lit(1_000_000)) / 1_000_000.0
+    x = (hx * 0.9 + jx * 0.1) * extent
+    y = (hy * 0.9 + jy * 0.1) * extent
+    return pages.withColumn("x", x).withColumn("y", y)
+
+
+def pages_to_samples(pages_xy: DataFrame, e: int = 0) -> DataFrame:
+    """Geocoded pages -> samples frame ``(cx, cy, e, height, n_pages)``:
+    cell value = mean text length of pages in the cell (a simple, exactly
+    reproducible layer), occupancy = page count."""
+    from ..functions import cells as C
+
+    return (
+        pages_xy.select(
+            C.cell_coord(F.col("x"), e).alias("cx"),
+            C.cell_coord(F.col("y"), e).alias("cy"),
+            F.lit(e).cast("int").alias("e"),
+            F.length("text").cast("double").alias("tl"),
+        )
+        .groupBy("cx", "cy", "e")
+        .agg(F.avg("tl").alias("height"), F.count("*").alias("n_pages"))
+    )
+
+
+def text_hash_check(pages_a: DataFrame, pages_b: DataFrame) -> int:
+    """Verify byte-identical text per url between two pipelines (hash join);
+    returns the number of urls whose text hashes differ (0 = invariant holds)."""
+    ha = pages_a.select("url", F.md5(F.encode("text", "utf-8")).alias("h_a"))
+    hb = pages_b.select("url", F.md5(F.encode("text", "utf-8")).alias("h_b"))
+    return ha.join(hb, "url", "inner").filter(F.col("h_a") != F.col("h_b")).count()
