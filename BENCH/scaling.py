@@ -1,0 +1,122 @@
+"""Two-parallelism scaling measurement (BASELINE.json north rule).
+
+Runs the core pipeline — synth web pages -> geocode -> cell encode ->
+dominance merge -> tile build -> LoD pyramid -> polygon query — at the
+parallelism given by --cores, printing one JSON line with wall-clock and
+rows/sec. The driver script (run_scaling.sh) launches this twice via
+spark-submit --py-files (local[8] vs local[32] — the sandbox proxy for N vs
+4N executors) and reports scaling efficiency.
+
+The workload is sized (default 4M pages) so task work dominates scheduling:
+that is the regime the 100 TB deployment lives in, and the regime the
+efficiency bar is meaningful for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--pages", type=int, default=4_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName(f"qt-scaling-{args.cores}")
+        .config("spark.sql.shuffle.partitions", str(max(8, args.cores * 2)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from aardvark_geometry_quadtree_spark.operators.build import build_tiles
+    from aardvark_geometry_quadtree_spark.operators.merge import Dominance, merge_samples
+    from aardvark_geometry_quadtree_spark.operators.pyramid import build_pyramid
+    from aardvark_geometry_quadtree_spark.operators.query import inside_polygon
+    from aardvark_geometry_quadtree_spark.sources.webpages import (
+        geocode,
+        pages_to_samples,
+        synth_webpages,
+    )
+
+    t0 = time.perf_counter()
+    rows = 0
+    phases: dict[str, float] = {}
+
+    def mark(name: str, t_start: float) -> None:
+        phases[name] = round(time.perf_counter() - t_start, 2)
+
+    t = time.perf_counter()
+    pages = synth_webpages(spark, args.pages, nsites=5000, skew=1.2)
+    xy = geocode(pages, extent=4096.0)
+    # one ingest pass produces both "crawls" (split by lang afterwards);
+    # the per-crawl samples frame is the checkpointed build stage
+    s_all = (
+        xy.selectExpr(
+            "CAST(floor(x) AS LONG) AS cx",
+            "CAST(floor(y) AS LONG) AS cy",
+            "CAST(0 AS INT) AS e",
+            "CAST(length(text) AS DOUBLE) AS tl",
+            "(lang = 'en') AS is_en",
+        )
+        .groupBy("cx", "cy", "e", "is_en")
+        .agg(F.avg("tl").alias("height"))
+        .localCheckpoint()
+    )
+    s1 = s_all.filter(~F.col("is_en")).drop("is_en")
+    s2 = s_all.filter(F.col("is_en")).drop("is_en")
+    # two "crawls" merged with dominance (the engine's write path);
+    # exponent hints select the single-shuffle same-resolution plan
+    merged = merge_samples(
+        s1, s2, Dominance.MoreDetailedOrFirst, layers=["height"],
+        first_exponents=[0], second_exponents=[0],
+    )
+    merged = merged.localCheckpoint()  # persisted build output feeds 3 consumers
+    rows += merged.count()
+    mark("merge", t)
+
+    t = time.perf_counter()
+    tiles = build_tiles(merged, split=8, layers=["height"])
+    rows += tiles.count()
+    mark("tiles", t)
+
+    t = time.perf_counter()
+    pyr = build_pyramid(merged, levels=5, layers=["height"], include_base=False)
+    rows += pyr.count()
+    mark("pyramid", t)
+
+    t = time.perf_counter()
+    poly = [(100.0, 100.0), (3600.0, 400.0), (3000.0, 3500.0), (400.0, 3000.0)]
+    rows += inside_polygon(merged, poly).count()
+    mark("polygon", t)
+
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "pages": args.pages,
+                "rows": rows,
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(rows / wall, 1),
+                "phases": phases,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

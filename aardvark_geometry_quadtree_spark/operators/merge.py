@@ -75,6 +75,8 @@ def merge_samples(
     second: DataFrame,
     dominance: Dominance | str = Dominance.FirstDominates,
     layers: list[str] | None = None,
+    first_exponents: list[int] | None = None,
+    second_exponents: list[int] | None = None,
 ) -> DataFrame:
     """Eagerly resolved merge of two samples sets (binary, chainable).
 
@@ -82,12 +84,26 @@ def merge_samples(
     non-overlapping — a valid tree / prior merge result). Output is again a
     non-overlapping samples frame with mixed exponents (fragments keep the
     dominated side's coarse values).
+
+    ``first_exponents``/``second_exponents``: optional caller-known exponent
+    sets. When both sides live at ONE common exponent the merge degenerates
+    to a winner-per-cell hash aggregation — a single shuffle with map-side
+    combine, no row ids, no materialization, no sort-merge join. Pass the
+    hints to take that path without an extra discovery scan (same-resolution
+    crawl merges are the common case at scale).
     """
     dominance = Dominance(dominance)
     key = ("cx", "cy", "e")
     layers = layers or [c for c in first.columns if c not in key and c != "patch_id"]
     a = first.select(*key, *[F.col(c) for c in layers if c in first.columns])
     b = second.select(*key, *[F.col(c) for c in layers if c in second.columns])
+
+    if (
+        first_exponents is not None
+        and second_exponents is not None
+        and len(set(first_exponents) | set(second_exponents)) == 1
+    ):
+        return _merge_same_exponent(a, b, dominance, layers)
     u = (
         a.withColumn("src", F.lit(1))
         .unionByName(b.withColumn("src", F.lit(2)), allowMissingColumns=True)
@@ -161,6 +177,14 @@ def merge_samples(
     )
 
     survivors = u.join(covered_ids, ["_id"], "left_anti")
+
+    # fast path: merges between equal-exponent sets have no strict-descendant
+    # beaters, so no fragmentation — skip the Python kernel entirely (this is
+    # the common case for same-resolution crawl merges; it also subsumes the
+    # reference's Merge.winner metadata short-circuit, Merge.fs:80-88)
+    if len(set(exps[1]) | set(exps[2])) <= 1:
+        return survivors.select(*key, *layers)  # no cross-resolution beaters
+
     frag_in = survivors.join(beaters, ["_id"], "inner")
     passthrough = survivors.join(beaters.select("_id"), ["_id"], "left_anti").select(
         *key, *layers
@@ -208,6 +232,22 @@ def merge_samples(
         _refine, out_schema
     )
     return passthrough.unionByName(fragments)
+
+
+def _merge_same_exponent(a: DataFrame, b: DataFrame, dominance: Dominance, layers: list[str]) -> DataFrame:
+    """Winner-per-cell hash aggregation for single-common-exponent merges.
+
+    At one shared exponent, cells either coincide (dominance picks the row)
+    or are disjoint (pass through) — exactly ``groupBy(cell).max_by(src
+    priority)``. MoreDetailed* ties on exponent, so it reduces to the named
+    side's precedence (Node.fs:12-23)."""
+    win_first = dominance in (Dominance.FirstDominates, Dominance.MoreDetailedOrFirst)
+    u = a.withColumn("_src", F.lit(1)).unionByName(
+        b.withColumn("_src", F.lit(2)), allowMissingColumns=True
+    )
+    pri = (F.lit(3) - F.col("_src")) if win_first else F.col("_src")
+    aggs = [F.max_by(F.col(name), pri).alias(name) for name in layers]
+    return u.groupBy("cx", "cy", "e").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

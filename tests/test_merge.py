@@ -150,6 +150,16 @@ def test_flatten_undefined_never_overwrites(spark):
     assert got == {(0, 0, 0): 10.0, (1, 0, 0): 10.0, (0, 1, 0): 10.0, (1, 1, 0): 10.0}
 
 
+def test_same_exponent_fast_path_matches_general(spark):
+    # exponent hints select the single-shuffle plan; results must be identical
+    a = grid_with_values(spark, 0, 0, 3, 2, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], e=0, patch_id=0)
+    b = grid_with_values(spark, 1, 0, 3, 2, [-1.0, -2.0, -3.0, -4.0, -5.0, -6.0], e=0, patch_id=1)
+    for dom in Dominance:
+        fast = _as_map(merge_samples(a, b, dom, first_exponents=[0], second_exponents=[0]))
+        general = _as_map(merge_samples(a, b, dom))
+        assert fast == general, dom
+
+
 def test_merge_random_stress_no_throw(spark):
     """MergeTests.fs:455-605 analogue: seeded random merges; invariants only —
     no exception, output non-overlapping, count plausibility."""

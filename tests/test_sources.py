@@ -1,0 +1,100 @@
+"""Web-pages synth/geocode, store roundtrip, checkpoint-resume, multimodal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aardvark_geometry_quadtree_spark.operators.multimodal import (
+    decode_image_batch,
+    extract_features,
+    resize_meta,
+    sample_frames,
+    synth_media,
+)
+from aardvark_geometry_quadtree_spark.sources import store as ST
+from aardvark_geometry_quadtree_spark.sources.webpages import (
+    geocode,
+    pages_to_samples,
+    synth_webpages,
+    text_hash_check,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_webpages(spark, 2000, nsites=50, skew=1.5).cache()
+
+
+def test_webpages_deterministic(spark, pages):
+    again = synth_webpages(spark, 2000, nsites=50, skew=1.5)
+    assert text_hash_check(pages, again) == 0  # byte-identical text per url
+    assert pages.count() == 2000
+    assert pages.select("url").distinct().count() == 2000
+
+
+def test_geocode_bounds_and_determinism(spark, pages):
+    xy = geocode(pages, extent=256.0)
+    row = xy.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+    assert 0 <= row[0] and row[1] < 256 and 0 <= row[2] and row[3] < 256
+    s = pages_to_samples(xy, e=0)
+    assert s.agg(F.sum("n_pages")).collect()[0][0] == 2000
+
+
+def test_store_roundtrip(spark, q10x7, tmp_path):
+    path = str(tmp_path / "tiles")
+    ST.save_samples(q10x7, path, partition_cols=("e",), meta={"split": 2})
+    back = ST.load_samples(spark, path)
+    assert back.count() == 70
+    assert ST.load_manifest(path)["split"] == 2
+    assert ST.enumerate_keys(spark, path).count() == 70
+    dst = str(tmp_path / "export")
+    assert ST.export_store(spark, path, dst) == 70
+
+
+def test_stage_resume(spark, q10x7, tmp_path):
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return q10x7
+
+    base = str(tmp_path / "stages")
+    df1 = ST.stage(spark, "s1", base, compute)
+    assert calls["n"] == 1 and df1.count() == 70
+    # resume: same stage skips recomputation
+    df2 = ST.stage(spark, "s1", base, compute)
+    assert calls["n"] == 1 and df2.count() == 70
+    # lineage metrics present
+    m = ST.lineage_metrics(df2)
+    assert m.agg(F.sum("rows")).collect()[0][0] == 70
+    # partial write without _SUCCESS is recomputed
+    os.remove(os.path.join(base, "s1", "_SUCCESS"))
+    ST.stage(spark, "s1", base, compute)
+    assert calls["n"] == 2
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 50)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feat"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feat"])
+
+
+def test_multimodal_decode_stub_raises():
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), fake=False)
+
+
+def test_frame_sampling_and_resize(spark):
+    media = synth_media(spark, 10)
+    frames = sample_frames(media, every=2)
+    n = frames.count()
+    assert n == sum((r["meta"]["n_frames"] + 1) // 2 for r in media.collect())
+    rz = resize_meta(media, max_side=256).collect()
+    for r in rz:
+        assert max(r["target_w"], r["target_h"]) <= 256 or r["scale"] == 1.0

@@ -1,0 +1,111 @@
+"""Text-analysis, dedup, and similarity operator units."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aardvark_geometry_quadtree_spark.operators import dedup as D
+from aardvark_geometry_quadtree_spark.operators import similarity as S
+from aardvark_geometry_quadtree_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (3, "der schnelle braune fuchs springt und der hund und die katze"),
+        (4, "completely different content about spark query engines here now"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 13
+    assert got[5] == 0
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", T.lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[5] == "und"
+
+
+def test_quality_monotone_in_length(spark):
+    df = spark.createDataFrame(
+        [(0, "short text here"), (1, " ".join(["reasonable words with spacing"] * 30))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["q"] for r in df.select("doc_id", T.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= got[0] < got[1] <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "  hello world "), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_exact_duplicates(docs):
+    dups = D.exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 0 and dups[0]["n_dups"] == 2
+
+
+def test_minhash_table_and_lsh(docs):
+    mh = D.minhash_table(docs, k=8)
+    assert mh.count() == 6
+    pairs = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(docs, k=8, bands=4).collect()}
+    assert (0, 1) in pairs  # exact dups always collide in every band
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, D.lsh_candidate_pairs(docs, k=8, bands=4)).collect()}
+    assert jac[(0, 1)] == 1.0
+    if (0, 2) in jac:
+        assert 0.5 < jac[(0, 2)] < 1.0
+
+
+def test_simhash_near_for_near_dups(docs):
+    sh = {r["doc_id"]: r["s"] for r in docs.select("doc_id", D.simhash16(F.col("text")).alias("s")).collect()}
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham <= ham_far
+    assert sh[0] == sh[1]
+
+
+def test_simhash_dup_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_dup_pairs(docs, max_hamming=2).collect()}
+    assert (0, 1) in pairs
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [1.0 if j == i % 4 else 0.1 for j in range(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = S.brute_force_topk(emb, [1.0, 0.1, 0.1, 0.1], k=5)
+    got = top.collect()
+    assert len(got) == 5
+    assert got[0]["sim"] == 1.0  # vec 0 matches the query exactly
+    assert got[0]["vec_id"] == 0
+
+
+def test_ann_matches_brute_force_top1(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    q = [float((3 * 7 + j * 3) % 11 - 5) for j in range(8)]  # = vec 3's values
+    bf = S.brute_force_topk(emb, q, k=1).collect()[0]
+    ann = S.ann_topk(emb, q, k=1, n_planes=4).collect()[0]
+    assert ann["vec_id"] == bf["vec_id"]
+    assert ann["sim"] == bf["sim"] == 1.0
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]), (2, [0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in S.embedding_dup_pairs(emb, threshold=0.95, n_planes=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
