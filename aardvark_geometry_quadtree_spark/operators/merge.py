@@ -95,8 +95,25 @@ def merge_samples(
     dominance = Dominance(dominance)
     key = ("cx", "cy", "e")
     layers = layers or [c for c in first.columns if c not in key and c != "patch_id"]
-    a = first.select(*key, *[F.col(c) for c in layers if c in first.columns])
-    b = second.select(*key, *[F.col(c) for c in layers if c in second.columns])
+
+    def _norm(df: DataFrame) -> DataFrame:
+        # canonical undefined encoding is SQL NULL (registry convention):
+        # the Arrow/pandas boundary of the fragment kernel conflates NaN and
+        # null anyway, so normalize float NaN -> NULL up front for a
+        # consistent output encoding
+        cols = [F.col(k) for k in key]
+        dt = dict(df.dtypes)
+        for c in layers:
+            if c not in df.columns:
+                continue
+            col = F.col(c)
+            if dt.get(c) in ("float", "double"):
+                col = F.when(F.isnan(col), F.lit(None)).otherwise(col)
+            cols.append(col.alias(c))
+        return df.select(*cols)
+
+    a = _norm(first)
+    b = _norm(second)
 
     if (
         first_exponents is not None

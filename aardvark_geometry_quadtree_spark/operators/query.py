@@ -189,6 +189,77 @@ def _ensure_ccw(verts: list[tuple[float, float]]) -> list[tuple[float, float]]:
     return list(verts) if area2 >= 0 else list(reversed(verts))
 
 
+def pip_join(
+    samples: DataFrame,
+    polygons: DataFrame,
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Many-polygon point-in-polygon join (the north rule's broadcast PIP
+    join against polygon buckets).
+
+    ``polygons``: (poly_id, xs array<double>, ys array<double>) — one row per
+    polygon, vertices in order (any winding). Plan: polygons are broadcast
+    with a precomputed bbox; phase 1 is a bbox-overlap theta join (broadcast
+    nested loop over the tiny dim side — no shuffle of the fact side); phase
+    2 is a vectorized numpy winding test over the surviving (sample, polygon)
+    pairs in an Arrow-batched kernel. Returns samples + poly_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
+    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
+    pts = samples.withColumn("_px", px).withColumn("_py", py)
+    polys = polygons.select(
+        "poly_id", "xs", "ys",
+        F.array_min("xs").alias("_bx0"), F.array_min("ys").alias("_by0"),
+        F.array_max("xs").alias("_bx1"), F.array_max("ys").alias("_by1"),
+    )
+    cand = pts.join(
+        F.broadcast(polys),
+        (F.col("_px") >= F.col("_bx0")) & (F.col("_px") <= F.col("_bx1"))
+        & (F.col("_py") >= F.col("_by0")) & (F.col("_py") <= F.col("_by1")),
+        "inner",
+    )
+
+    keep = [c for c in samples.columns] + ["poly_id"]
+    out_schema = cand.select(*keep).schema
+
+    def _pip(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                yield pdf[keep]
+                continue
+            x = pdf["_px"].to_numpy(np.float64)
+            y = pdf["_py"].to_numpy(np.float64)
+            inside = np.zeros(len(pdf), dtype=bool)
+            # group rows by polygon so each polygon's edges vectorize over
+            # all its candidate points at once
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                row = pdf.iloc[idx[0]]
+                vx = np.asarray(row["xs"], dtype=np.float64)
+                vy = np.asarray(row["ys"], dtype=np.float64)
+                xx, yy = x[idx], y[idx]
+                wind = np.zeros(len(idx), dtype=np.int64)
+                on_edge = np.zeros(len(idx), dtype=bool)
+                n = len(vx)
+                for i in range(n):
+                    x1, y1 = vx[i], vy[i]
+                    x2, y2 = vx[(i + 1) % n], vy[(i + 1) % n]
+                    cross = (x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1)
+                    wind += np.where((y1 <= yy) & (yy < y2) & (cross > 0), 1, 0)
+                    wind -= np.where((y2 <= yy) & (yy < y1) & (cross < 0), 1, 0)
+                    seg = (
+                        (xx >= min(x1, x2)) & (xx <= max(x1, x2))
+                        & (yy >= min(y1, y2)) & (yy <= max(y1, y2))
+                    )
+                    on_edge |= (cross == 0) & seg
+                inside[idx] = (wind != 0) | on_edge
+            yield pdf.loc[inside, keep]
+
+    return cand.mapInPandas(_pip, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # J8 NearLine (Query.fs:471-489)
 # ---------------------------------------------------------------------------
