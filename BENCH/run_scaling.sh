@@ -13,10 +13,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-PAGES="${PAGES:-6000000}"
+PAGES="${PAGES:-24000000}"
 N_LO="${N_LO:-4}"
 N_HI="${N_HI:-16}"
-REPS="${REPS:-3}"
+REPS="${REPS:-2}"
 ZIP=/tmp/qt_pkg.zip
 rm -f "$ZIP"
 zip -qr "$ZIP" aardvark_geometry_quadtree_spark

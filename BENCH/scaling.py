@@ -60,26 +60,16 @@ def main() -> None:
         phases[name] = round(time.perf_counter() - t_start, 2)
 
     t = time.perf_counter()
-    pages = synth_webpages(spark, args.pages, nsites=5000, skew=1.2)
-    xy = geocode(pages, extent=4096.0)
-    # one ingest pass produces both "crawls" (split by lang afterwards);
-    # the per-crawl samples frame is the checkpointed build stage
-    s_all = (
-        xy.selectExpr(
-            "CAST(floor(x) AS LONG) AS cx",
-            "CAST(floor(y) AS LONG) AS cy",
-            "CAST(0 AS INT) AS e",
-            "CAST(length(text) AS DOUBLE) AS tl",
-            "(lang = 'en') AS is_en",
-        )
-        .groupBy("cx", "cy", "e", "is_en")
-        .agg(F.avg("tl").alias("height"))
-        .localCheckpoint()
-    )
-    s1 = s_all.filter(~F.col("is_en")).drop("is_en")
-    s2 = s_all.filter(F.col("is_en")).drop("is_en")
-    # two "crawls" merged with dominance (the engine's write path);
-    # exponent hints select the single-shuffle same-resolution plan
+    # two independent "crawls" (disjoint page-id ranges), each ingested and
+    # cell-aggregated on its own — no shared upstream, no artificial
+    # materialization barrier between them
+    half = args.pages // 2
+    crawl1 = synth_webpages(spark, half, nsites=5000, skew=1.2, seed=42)
+    crawl2 = synth_webpages(spark, half, nsites=5000, skew=1.2, seed=1042)
+    s1 = pages_to_samples(geocode(crawl1, extent=4096.0), e=0).drop("n_pages")
+    s2 = pages_to_samples(geocode(crawl2, extent=4096.0), e=0).drop("n_pages")
+    # merged with dominance (the engine's write path); exponent hints select
+    # the single-shuffle same-resolution plan
     merged = merge_samples(
         s1, s2, Dominance.MoreDetailedOrFirst, layers=["height"],
         first_exponents=[0], second_exponents=[0],

@@ -208,8 +208,9 @@ def merge_samples(
     )
 
     # --- refinement kernel: quadtree decomposition of cell minus beaters ----
+    e_type = dict(u.dtypes)["e"]  # mirror the input exponent type (int/long)
     out_schema = ", ".join(
-        ["cx long", "cy long", "e int"]
+        ["cx long", "cy long", f"e {e_type}"]
         + [f"{name} {t}" for name, t in frag_in.select(*layers).dtypes]
     )
 

@@ -1,0 +1,59 @@
+"""Builder (S2) goldens — the cpunz 2023-10-17 fixture (cpunz.fs:1141-1245):
+3x5 zero grid at e0 (split 10) + four 2x2 subcells at e=-2 + one at e=-1,
+chained SecondDominates. Expected sets derived from the merge semantics
+(FIXTURES.md §2 'builder patches': 33 resolved cells)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aardvark_geometry_quadtree_spark.operators.builder import Builder
+from aardvark_geometry_quadtree_spark.operators.query import inside_polygon
+from aardvark_geometry_quadtree_spark.sources.grids import grid
+
+
+@pytest.fixture(scope="module")
+def punz_builder(spark):
+    b = Builder(layers=["height"])
+    b.add(grid(spark, 0, 0, 3, 5, e=0, pattern="const", value=0.0))
+    for i, (ox, oy) in enumerate([(0, 0), (2, 0), (2, 2), (0, 2)]):
+        b.add(grid(spark, ox, oy, 2, 2, e=-2, pattern="const", value=2.0, patch_id=i + 1))
+    b.add(grid(spark, 2, 6, 2, 2, e=-1, pattern="const", value=1.0, patch_id=5))
+    return b
+
+
+def test_builder_merge_build(spark, punz_builder):
+    m = punz_builder.build().cache()
+    rows = {(r["cx"], r["cy"], r["e"]): r["height"] for r in m.collect()}
+    # 15 base cells - 2 fully replaced + 16 e-2 + 4 e-1 = 33
+    assert len(rows) == 33
+    assert (0, 0, 0) not in rows and (1, 3, 0) not in rows
+    assert sum(1 for (cx, cy, e) in rows if e == -2) == 16
+    assert sum(1 for (cx, cy, e) in rows if e == -1) == 4
+    assert all(v == 2.0 for (cx, cy, e), v in rows.items() if e == -2)
+    assert all(v == 1.0 for (cx, cy, e), v in rows.items() if e == -1)
+    assert all(v == 0.0 for (cx, cy, e), v in rows.items() if e == 0)
+
+    # the 2023-10-17 polygon query over the merged tree (cpunz.fs:1215)
+    poly = [(0.26, 0.26), (2.25, 0.26), (2.25, 3.51), (0.26, 3.51)]
+    got = inside_polygon(m, poly)
+    counts = {r["e"]: r["n"] for r in got.groupBy("e").agg(F.count("*").alias("n")).collect()}
+    assert counts == {-2: 9, 0: 6, -1: 2}
+
+
+def test_builder_flatten_build(spark, punz_builder):
+    flat = punz_builder.build_flattened()
+    # everything supersampled to e=-2: 3x5 cells x 16 children = 240 cells
+    assert flat.count() == 240
+    rows = {(r["cx"], r["cy"]): r["height"] for r in flat.collect()}
+    assert rows[(0, 0)] == 2.0       # replaced quadrant
+    assert rows[(5, 13)] == 1.0      # e-1 patch area: x in [4,8), y in [12,16) at e-2
+    assert rows[(10, 2)] == 0.0      # untouched base area (cell (2,0,0))
+
+
+def test_builder_save_load_roundtrip(spark, punz_builder, tmp_path):
+    path = str(tmp_path / "patches")
+    punz_builder.save(path)
+    again = Builder.load(spark, path, layers=["height"])
+    a = {(r["cx"], r["cy"], r["e"]): r["height"] for r in punz_builder.build().collect()}
+    b = {(r["cx"], r["cy"], r["e"]): r["height"] for r in again.build().collect()}
+    assert a == b
