@@ -75,6 +75,40 @@ def build_pyramid(
     return out
 
 
+def build_pyramid_mixed(
+    samples: DataFrame,
+    levels: int | None = None,
+    layers: list[str] | None = None,
+    semantics: dict[str, Semantic] | None = None,
+    include_base: bool = True,
+) -> DataFrame:
+    """LoD pyramid over a MIXED-exponent samples set (a merged tree).
+
+    The reference generates inner-node LoD layers by averaging children,
+    whether those children are original data or themselves LoD
+    (StructureTests level goldens, e.g. 23.875 = avg(1, 92.5, 1, 1) where
+    92.5 is itself a derived level). Per level e: rows(e) = original rows at
+    e UNION downsample(rows at e-1); originals never collide with derived
+    cells (the merged set is non-overlapping). ``levels`` defaults to
+    reaching one row above the coarsest original exponent.
+    """
+    layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    exps = sorted(r[0] for r in samples.select("e").distinct().collect())
+    if levels is None:
+        levels = (exps[-1] - exps[0]) + 1
+    out = samples.select("cx", "cy", "e", *layers) if include_base else None
+    cur = samples.filter(F.col("e") == exps[0]).select("cx", "cy", "e", *layers)
+    for i in range(levels):
+        e_next = exps[0] + i + 1
+        derived = downsample_once(cur, layers, semantics).select("cx", "cy", "e", *layers)
+        orig = samples.filter(F.col("e") == e_next).select("cx", "cy", "e", *layers)
+        # originals already live in the base union — accumulate ONLY the
+        # derived rows, but feed both into the next level's downsample
+        cur = derived.unionByName(orig)
+        out = derived if out is None else out.unionByName(derived)
+    return out
+
+
 def supersample_once(samples: DataFrame) -> DataFrame:
     """Duplicate every sample into its 4 children (Layer.fs:210-241) —
     a JVM-side explode, each child keeps the parent's value."""
