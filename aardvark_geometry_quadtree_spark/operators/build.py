@@ -73,8 +73,10 @@ def pack_tiles(
     (Node.fs:26-116, DataMapping.fs:24-145): per layer a flat array of
     ``win_sx * win_sy`` values over the tile's exact data window (tight
     window, not the full 2^split square), NaN/null for holes, plus an
-    occupancy mask. Arrow-batched ``applyInPandas`` kernel — vectorized
-    numpy scatter, no per-row Python.
+    occupancy mask AND a per-layer defined-mask (the reference's per-layer
+    ``Mask1b``, Layer.fs:120-146/Defs.fs:115: a cell can exist while one
+    layer's value is undefined there). Arrow-batched ``applyInPandas``
+    kernel — vectorized numpy scatter, no per-row Python.
     """
     layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
     keyed = with_tile_key(samples, split)
@@ -86,6 +88,7 @@ def pack_tiles(
     ]
     for name in layers:
         out_fields.append(f"{name}_arr array<double>")
+        out_fields.append(f"{name}_mask array<boolean>")
     out_fields.append("mask array<boolean>")
     out_schema = ", ".join(out_fields)
 
@@ -114,6 +117,8 @@ def pack_tiles(
             vals = pdf[name].to_numpy(np.float64)
             buf[idx] = vals
             row[f"{name}_arr"] = [buf.tolist()]
+            # per-layer Mask1b: defined = cell present AND value not a hole
+            row[f"{name}_mask"] = [(~np.isnan(buf)).tolist()]
         row["mask"] = [mask.tolist()]
         for k in ("tile_cx", "tile_cy", "tile_e", "e", "win_min_cx", "win_min_cy",
                   "win_sx", "win_sy", "n_samples"):
@@ -127,13 +132,16 @@ def unpack_tiles(tiles: DataFrame, layers: list[str]) -> DataFrame:
     """Inverse of :func:`pack_tiles`: packed tiles -> samples rows.
 
     Uses ``posexplode`` on the payload array (JVM-side) so the explosion
-    never round-trips through Python.
+    never round-trips through Python. Per-layer masks restore the canonical
+    NULL encoding for layer holes (a cell kept by the occupancy mask can
+    still be undefined in an individual layer — Mask1b semantics).
     """
-    first = layers[0]
+    zipped = [F.col(f"{n}_arr") for n in layers]
+    zipped += [F.col(f"{n}_mask") for n in layers]
+    zipped.append(F.col("mask"))
     df = tiles.select(
         "win_min_cx", "win_min_cy", "win_sx", "e",
-        F.posexplode(F.arrays_zip(*[F.col(f"{n}_arr") for n in layers], F.col("mask")))
-        .alias("pos", "z"),
+        F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
     ).filter(F.col("z.mask"))
     cols = [
         (F.col("win_min_cx") + F.pmod(F.col("pos"), F.col("win_sx"))).cast("long").alias("cx"),
@@ -141,8 +149,9 @@ def unpack_tiles(tiles: DataFrame, layers: list[str]) -> DataFrame:
         F.col("e"),
     ]
     for n in layers:
-        cols.append(F.col(f"z.{n}_arr").alias(n))
-    _ = first
+        cols.append(
+            F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}_arr")).otherwise(F.lit(None)).alias(n)
+        )
     return df.select(*cols)
 
 

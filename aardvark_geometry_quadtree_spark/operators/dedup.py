@@ -174,24 +174,78 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+def simhash64_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as four 16-bit words ``sh0..sh3`` (sh0 = bits 0-15) plus
+    the canonical hex string ``simhash_hex`` (high word first).
+
+    Scale formulation: tokens are exploded to rows ONCE (one md5 per token,
+    not one per fingerprint bit — the naive per-bit ``F.aggregate`` costs
+    64 md5 evaluations per token), then all 64 signed bit-sums run in a
+    single hash aggregation with map-side combine. The fingerprint is kept
+    as 16-bit words because both Spark and DuckDB overflow on
+    ``1::BIGINT << 63`` — and the words double as the LSH band keys.
+
+    At 10^9 docs each 16-bit band key has ~15k docs/bucket (vs 4M at the
+    former 8-bit halves) and Hamming<=3 is guaranteed caught by pigeonhole
+    over 4 bands.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t"))
+    hexcol = F.md5(F.col("_t"))
+    ex = ex.select(
+        "id",
+        *[F.conv(F.substring(hexcol, 4 * w + 1, 4), 16, 10).cast("long").alias(f"_w{w}") for w in range(4)],
+    )
+    aggs = []
+    for b in range(64):
+        w, off = divmod(b, 16)
+        bit = F.shiftright(F.col(f"_w{w}"), off) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_b{b}"))
+    g = ex.groupBy("id").agg(*aggs)
+    words = []
+    for w in range(4):
+        acc = F.lit(0).cast("long")
+        for off in range(16):
+            acc = acc + F.when(F.col(f"_b{w * 16 + off}") >= 0, F.lit(1 << off)).otherwise(F.lit(0))
+        words.append(acc.alias(f"sh{w}"))
+    out = g.select("id", *words)
+    hexs = F.concat(*[F.lpad(F.lower(F.hex(F.col(f"sh{w}"))), 4, "0") for w in (3, 2, 1, 0)])
+    return out.withColumn("simhash_hex", hexs).withColumnRenamed("id", id_col)
+
+
 def simhash_dup_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 2
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, candidate-generated by
-    exact match on the two 8-bit halves (any pair within Hamming<=2 of a
-    16-bit hash agrees on at least one half — pigeonhole banding)."""
-    s = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sh"))
-    halves = []
-    for part in range(2):
-        key = F.shiftright(F.col("sh"), part * 8) % 256
-        halves.append(s.select("id", "sh", key.alias("hkey"), F.lit(part).alias("hpart")))
-    keys = halves[0].unionByName(halves[1])
-    a = keys.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "hkey", "hpart")
-    b = keys.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "hkey", "hpart")
+    """Near-dup pairs by 64-bit SimHash Hamming distance, candidate-generated
+    by exact match on any of the four 16-bit words (any pair within
+    Hamming<=3 agrees on at least one word — pigeonhole banding; the 16-bit
+    key space keeps candidate buckets sub-quadratic at corpus scale)."""
+    s = simhash64_table(df, id_col, text_col).withColumnRenamed(id_col, "id").localCheckpoint()
+    parts = [
+        s.select("id", "sh0", "sh1", "sh2", "sh3", F.col(f"sh{w}").alias("hkey"), F.lit(w).alias("hpart"))
+        for w in range(4)
+    ]
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    a = keys.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"sh{w}").alias(f"a{w}") for w in range(4)],
+        "hkey",
+        "hpart",
+    )
+    b = keys.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"sh{w}").alias(f"b{w}") for w in range(4)],
+        "hkey",
+        "hpart",
+    )
     cand = a.join(b, ["hkey", "hpart"]).filter(F.col("id_a") < F.col("id_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}"))) for w in range(4)
+    )
     return (
-        cand.select("id_a", "id_b", "sh_a", "sh_b", ham.alias("hamming"))
+        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -88,9 +88,13 @@ def merge_samples(
     ``first_exponents``/``second_exponents``: optional caller-known exponent
     sets. When both sides live at ONE common exponent the merge degenerates
     to a winner-per-cell hash aggregation — a single shuffle with map-side
-    combine, no row ids, no materialization, no sort-merge join. Pass the
-    hints to take that path without an extra discovery scan (same-resolution
-    crawl merges are the common case at scale).
+    combine, no row ids, no materialization, no sort-merge join. When the
+    sets differ, the hints still skip the metadata discovery scan (one job
+    saved per merge — the dominant fixed cost in chained builds).
+
+    Row identity is the natural key ``(cx, cy, e, src)`` — unique per side
+    by construction — so every join is deterministic under recomputation
+    (executor loss / stage retry safe; no monotonically_increasing_id).
     """
     dominance = Dominance(dominance)
     key = ("cx", "cy", "e")
@@ -121,30 +125,35 @@ def merge_samples(
         and len(set(first_exponents) | set(second_exponents)) == 1
     ):
         return _merge_same_exponent(a, b, dominance, layers)
-    u = (
-        a.withColumn("src", F.lit(1))
-        .unionByName(b.withColumn("src", F.lit(2)), allowMissingColumns=True)
-        .withColumn("_id", F.monotonically_increasing_id())
+    u = a.withColumn("src", F.lit(1)).unionByName(
+        b.withColumn("src", F.lit(2)), allowMissingColumns=True
     )
-    # materialize and truncate lineage: chained merges would otherwise stack
-    # join+kernel plans exponentially; at cluster scale this is the natural
-    # checkpoint boundary of a build job (persisted tiles table per stage)
+    # truncate lineage: chained merges would otherwise stack join+kernel
+    # plans exponentially. Correctness no longer depends on this snapshot
+    # (identity is content-derived), so recomputation after executor loss is
+    # harmless; at cluster scale the equivalent boundary is the persisted
+    # tiles table per build stage.
     u = u.localCheckpoint()
 
-    exps = {1: set(), 2: set()}
-    for r in u.select("src", "e").distinct().collect():
-        exps[r[0]].add(r[1])
-    exps = {k: sorted(v) for k, v in exps.items()}
+    if first_exponents is not None and second_exponents is not None:
+        exps = {1: sorted(set(first_exponents)), 2: sorted(set(second_exponents))}
+    else:
+        exps = {1: set(), 2: set()}
+        for r in u.select("src", "e").distinct().collect():
+            exps[r[0]].add(r[1])
+        exps = {k: sorted(v) for k, v in exps.items()}
 
     # --- overlap pairs: (descendant d, ancestor-or-equal a) across sides ----
-    # for each row, its ancestor key at every opposite-side exponent >= own e
+    # for each row, its ancestor key at every opposite-side exponent >= own e;
+    # identity is the natural key (cx, cy, e, src) throughout — deterministic
+    # under stage retry, unlike monotonically_increasing_id
+    ukey = ["cx", "cy", "e", "src"]
     anc_parts = []
     for src_val, other in ((1, exps[2]), (2, exps[1])):
         rows = u.filter(F.col("src") == src_val)
         for ex in other:
             anc_parts.append(
                 rows.filter(F.col("e") <= F.lit(ex)).select(
-                    F.col("_id").alias("d_id"),
                     F.col("cx").alias("d_cx"),
                     F.col("cy").alias("d_cy"),
                     F.col("e").alias("d_e"),
@@ -162,19 +171,25 @@ def merge_samples(
         anc = anc.unionByName(p)
 
     other_keys = u.select(
-        F.col("_id").alias("a_id"),
         F.col("cx").alias("a_cx"),
         F.col("cy").alias("a_cy"),
         F.col("e").alias("a_e"),
         F.col("src").alias("a_src"),
     )
-    pairs = anc.join(other_keys, ["a_cx", "a_cy", "a_e", "a_src"], "inner").cache()
+    # (cx,cy,e,src) is unique per side, so the semi join keeps exactly the
+    # candidate pairs whose ancestor cell actually exists on the other side
+    pairs = anc.join(other_keys, ["a_cx", "a_cy", "a_e", "a_src"], "left_semi").cache()
 
     # identical cells generate the pair twice (once per direction); the beat
     # rule is antisymmetric so each judgment is still one-directional
-    covered_ids = (
+    covered = (
         pairs.filter(_beats(dominance, F.col("a_e"), F.col("a_src"), F.col("d_e")))
-        .select(F.col("d_id").alias("_id"))
+        .select(
+            F.col("d_cx").alias("cx"),
+            F.col("d_cy").alias("cy"),
+            F.col("d_e").alias("e"),
+            F.col("d_src").alias("src"),
+        )
         .distinct()
     )
     # strict descendants that beat their ancestor -> the ancestor fragments
@@ -183,17 +198,34 @@ def merge_samples(
             (F.col("d_e") < F.col("a_e"))
             & _beats(dominance, F.col("d_e"), F.col("d_src"), F.col("a_e"))
         )
-        .join(covered_ids.withColumnRenamed("_id", "a_id"), ["a_id"], "left_anti")
-        .groupBy("a_id")
+        .join(
+            covered.select(
+                F.col("cx").alias("a_cx"),
+                F.col("cy").alias("a_cy"),
+                F.col("e").alias("a_e"),
+                F.col("src").alias("a_src"),
+            ),
+            ["a_cx", "a_cy", "a_e", "a_src"],
+            "left_anti",
+        )
+        .groupBy("a_cx", "a_cy", "a_e", "a_src")
         .agg(
             F.collect_list("d_cx").alias("b_cx"),
             F.collect_list("d_cy").alias("b_cy"),
             F.collect_list("d_e").alias("b_e"),
         )
-        .withColumnRenamed("a_id", "_id")
+        .select(
+            F.col("a_cx").alias("cx"),
+            F.col("a_cy").alias("cy"),
+            F.col("a_e").alias("e"),
+            F.col("a_src").alias("src"),
+            "b_cx",
+            "b_cy",
+            "b_e",
+        )
     )
 
-    survivors = u.join(covered_ids, ["_id"], "left_anti")
+    survivors = u.join(covered, ukey, "left_anti")
 
     # fast path: merges between equal-exponent sets have no strict-descendant
     # beaters, so no fragmentation — skip the Python kernel entirely (this is
@@ -202,8 +234,8 @@ def merge_samples(
     if len(set(exps[1]) | set(exps[2])) <= 1:
         return survivors.select(*key, *layers)  # no cross-resolution beaters
 
-    frag_in = survivors.join(beaters, ["_id"], "inner")
-    passthrough = survivors.join(beaters.select("_id"), ["_id"], "left_anti").select(
+    frag_in = survivors.join(beaters, ukey, "inner")
+    passthrough = survivors.join(beaters.select(*ukey), ukey, "left_anti").select(
         *key, *layers
     )
 

@@ -25,9 +25,16 @@ MEDIA_SCHEMA = (
 )
 
 
-def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the id."""
-    df = spark.range(n)
+def synth_media(spark, n: int, kind: str = "image", rows_per_partition: int = 4096) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from the id.
+
+    Partition count is sized to the row count: a tiny frame spread across 32
+    default partitions pays 32x Python-worker + Arrow spin-up in the first
+    mapInPandas it hits for ~6 rows each (this was >1/3 of the round-1 bench's
+    total wall-clock). Real media payloads are large, so a few thousand rows
+    per task is the right grain at scale too.
+    """
+    df = spark.range(0, n, numPartitions=max(1, -(-n // rows_per_partition)))
     payload = F.encode(F.concat(F.lit(f"{kind}-payload-"), F.md5(F.col("id").cast("string"))), "utf-8")
     return df.select(
         F.col("id").alias("media_id"),

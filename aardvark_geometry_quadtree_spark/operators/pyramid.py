@@ -70,7 +70,13 @@ def build_pyramid(
     out = samples if include_base else None
     lvl = samples
     for _ in range(levels):
-        lvl = downsample_once(lvl, layers, semantics)
+        # persist each derived level: the union otherwise embeds the whole
+        # aggregation chain 1..k-1 inside every level k, turning the ~1.33x
+        # geometric pyramid cost into O(levels * base). With the cache, each
+        # level is computed once and both its union branch and the next
+        # level's groupBy read the cached partitions (at cluster scale the
+        # same boundary is the per-level write into the tiles table).
+        lvl = downsample_once(lvl, layers, semantics).persist()
         out = lvl if out is None else out.unionByName(lvl, allowMissingColumns=True)
     return out
 
@@ -81,6 +87,7 @@ def build_pyramid_mixed(
     layers: list[str] | None = None,
     semantics: dict[str, Semantic] | None = None,
     include_base: bool = True,
+    exponents: list[int] | None = None,
 ) -> DataFrame:
     """LoD pyramid over a MIXED-exponent samples set (a merged tree).
 
@@ -90,17 +97,24 @@ def build_pyramid_mixed(
     92.5 is itself a derived level). Per level e: rows(e) = original rows at
     e UNION downsample(rows at e-1); originals never collide with derived
     cells (the merged set is non-overlapping). ``levels`` defaults to
-    reaching one row above the coarsest original exponent.
+    reaching one row above the coarsest original exponent. ``exponents``:
+    caller-known exponent set of the input — skips the discovery scan.
     """
     layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
-    exps = sorted(r[0] for r in samples.select("e").distinct().collect())
+    if exponents is not None:
+        exps = sorted(set(exponents))
+    else:
+        exps = sorted(r[0] for r in samples.select("e").distinct().collect())
     if levels is None:
         levels = (exps[-1] - exps[0]) + 1
     out = samples.select("cx", "cy", "e", *layers) if include_base else None
     cur = samples.filter(F.col("e") == exps[0]).select("cx", "cy", "e", *layers)
     for i in range(levels):
         e_next = exps[0] + i + 1
-        derived = downsample_once(cur, layers, semantics).select("cx", "cy", "e", *layers)
+        # persist: same level-recompute argument as build_pyramid above
+        derived = (
+            downsample_once(cur, layers, semantics).select("cx", "cy", "e", *layers).persist()
+        )
         orig = samples.filter(F.col("e") == e_next).select("cx", "cy", "e", *layers)
         # originals already live in the base union — accumulate ONLY the
         # derived rows, but feed both into the next level's downsample
@@ -122,11 +136,18 @@ def supersample_once(samples: DataFrame) -> DataFrame:
     )
 
 
-def supersample_to(samples: DataFrame, target_e: int) -> DataFrame:
+def supersample_to(
+    samples: DataFrame, target_e: int, exponents: list[int] | None = None
+) -> DataFrame:
     """Supersample every row down to ``target_e`` (rows already at or below
     pass through unchanged only if exactly at target; finer input is an
-    error, mirroring Layer.Resample's unsupported-subsample rule)."""
-    exps = [r[0] for r in samples.select("e").distinct().collect()]
+    error, mirroring Layer.Resample's unsupported-subsample rule).
+    ``exponents``: caller-known exponent set — skips the discovery scan."""
+    exps = (
+        list(exponents)
+        if exponents is not None
+        else [r[0] for r in samples.select("e").distinct().collect()]
+    )
     if min(exps) < target_e:
         raise ValueError("cannot subsample finer data to a coarser target")
     out = samples.filter(F.col("e") == target_e)

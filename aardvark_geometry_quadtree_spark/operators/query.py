@@ -35,7 +35,46 @@ def query_all(samples: DataFrame, min_exponent: int | None = None) -> DataFrame:
     return samples
 
 
-def lod_cut(samples: DataFrame, min_exponent: int) -> DataFrame:
+def query_generic(
+    samples: DataFrame,
+    sample_inside,
+    node_outside=None,
+    node_inside=None,
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Generic two-phase query — the caller-supplied predicate triple of the
+    reference's ``Query.Generic`` (Query.fs:342-432: isNodeFullyOutside /
+    isNodeFullyInside / isSampleInside), re-expressed as Column builders so a
+    user can add a new geometry type without touching this module.
+
+    - ``node_outside(x0, y0, x1, y1) -> Column``: True if a cell with world
+      bounds [x0,x1)x[y0,y1) is fully outside the query region — phase 1
+      prune (subtree skip in the reference; min/max scan pruning here).
+    - ``node_inside(x0, y0, x1, y1) -> Column``: True if the cell is fully
+      inside — accepts the sample without running the fine test.
+    - ``sample_inside(px, py) -> Column``: exact test on the SampleMode
+      position (Query.fs:443-608).
+
+    All three receive Columns and must return boolean Columns (pure Catalyst:
+    the predicate stays in whole-stage codegen). Built-in queries
+    (inside_polygon, near_line) are thin wrappers over this surface.
+    """
+    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
+    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
+    x0, y0 = C.cell_min(F.col("cx"), F.col("e")), C.cell_min(F.col("cy"), F.col("e"))
+    x1, y1 = C.cell_max(F.col("cx"), F.col("e")), C.cell_max(F.col("cy"), F.col("e"))
+    df = samples
+    if node_outside is not None:
+        df = df.filter(~node_outside(x0, y0, x1, y1))
+    fine = sample_inside(px, py)
+    if node_inside is not None:
+        fine = node_inside(x0, y0, x1, y1) | fine
+    return df.filter(fine)
+
+
+def lod_cut(
+    samples: DataFrame, min_exponent: int, exponents: list[int] | None = None
+) -> DataFrame:
     """Per-location finest level with e >= min_exponent.
 
     The reference's traversal stops descending when a child's sample exponent
@@ -43,9 +82,13 @@ def lod_cut(samples: DataFrame, min_exponent: int) -> DataFrame:
     coarsest nodes at-or-above the cut along each branch — equivalently: keep
     a sample iff no *finer* sample with e >= min_exponent covers the same area.
     Implemented as an ancestor anti-join over the (few) distinct exponent pairs.
+    ``exponents``: caller-known exponent set — skips the discovery scan.
     """
     s = samples.filter(F.col("e") >= F.lit(min_exponent))
-    exps = [r[0] for r in s.select("e").distinct().collect()]
+    if exponents is not None:
+        exps = sorted(e for e in set(exponents) if e >= min_exponent)
+    else:
+        exps = [r[0] for r in s.select("e").distinct().collect()]
     if len(exps) <= 1:
         return s
     # a sample at exponent ea is shadowed if any sample at finer eb (< ea)
@@ -165,28 +208,50 @@ def inside_polygon(
 ) -> DataFrame:
     """Samples whose SampleMode position lies inside the (CCW) polygon.
 
-    Two-phase: bbox prefilter (Catalyst, prunable) then exact winding test
+    Two-phase via ``query_generic``: cell-bounds-vs-polygon-bbox prune
+    (Catalyst, prunable) then bbox + exact winding on the sample position
     (also Catalyst — the polygon is a plan-time constant). Mirrors
-    Query.InsidePolygon (Query.fs:454-468) incl. CCW normalization.
+    Query.InsidePolygon (Query.fs:454-468) incl. vertex dedup + CCW
+    normalization (Polygon2d.WithoutMultiplePoints / IsCcw).
     """
-    verts = _ensure_ccw(verts)
-    xs = [v[0] for v in verts]
-    ys = [v[1] for v in verts]
-    pre = inside_box(samples, min(xs), min(ys), max(xs), max(ys), rel)
-    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
-    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
-    return pre.filter(_winding_expr(px, py, verts))
+    verts = _normalize_polygon(verts)
+    xs = [float(v[0]) for v in verts]
+    ys = [float(v[1]) for v in verts]
+    bx0, by0, bx1, by1 = min(xs), min(ys), max(xs), max(ys)
+
+    def node_outside(x0, y0, x1, y1):
+        return (x1 <= F.lit(bx0)) | (x0 > F.lit(bx1)) | (y1 <= F.lit(by0)) | (y0 > F.lit(by1))
+
+    def sample_inside(px, py):
+        in_bbox = (
+            (px >= F.lit(bx0)) & (px <= F.lit(bx1)) & (py >= F.lit(by0)) & (py <= F.lit(by1))
+        )
+        return in_bbox & _winding_expr(px, py, verts)
+
+    return query_generic(samples, sample_inside, node_outside=node_outside, rel=rel)
 
 
-def _ensure_ccw(verts: list[tuple[float, float]]) -> list[tuple[float, float]]:
-    """Normalize winding to CCW (Query.fs:455-458 Polygon2d.WithoutMultiplePoints/IsCcw)."""
+def _normalize_polygon(verts: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Drop repeated consecutive vertices (incl. an explicit closing vertex),
+    then normalize winding to CCW — Polygon2d.WithoutMultiplePoints + IsCcw,
+    the exact preprocessing at Query.fs:455-458. Repeated vertices would make
+    degenerate zero-length edges whose cross == 0 marks every collinear point
+    "on edge", silently distorting the winding test.
+    """
+    deduped: list[tuple[float, float]] = []
+    for v in verts:
+        p = (float(v[0]), float(v[1]))
+        if not deduped or deduped[-1] != p:
+            deduped.append(p)
+    if len(deduped) > 1 and deduped[0] == deduped[-1]:
+        deduped.pop()
     area2 = 0.0
-    n = len(verts)
+    n = len(deduped)
     for i in range(n):
-        x1, y1 = verts[i]
-        x2, y2 = verts[(i + 1) % n]
+        x1, y1 = deduped[i]
+        x2, y2 = deduped[(i + 1) % n]
         area2 += x1 * y2 - x2 * y1
-    return list(verts) if area2 >= 0 else list(reversed(verts))
+    return deduped if area2 >= 0 else list(reversed(deduped))
 
 
 def pip_join(
@@ -276,22 +341,38 @@ def near_line(
     """Samples whose position is within ``dist`` of the infinite line through
     (ox,oy) with direction (dx,dy) (Ray2d.GetDistanceToRay, Query.fs:477-488).
 
-    Coarse phase: expanded-bbox on the perpendicular band is implicit in the
-    single codegen'd predicate; the cross-product distance is exact.
+    Coarse phase (via ``query_generic``): a cell is fully outside when all
+    four corners sit on one side of the band — codegen'd corner distance
+    checks; the fine phase cross-product distance on the position is exact.
     """
     norm = (dx * dx + dy * dy) ** 0.5
     ux, uy = dx / norm, dy / norm
-    px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
-    py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
-    d = F.abs(F.lit(ux) * (py - F.lit(float(oy))) - F.lit(uy) * (px - F.lit(float(ox))))
-    return samples.filter(d <= F.lit(float(dist)))
+
+    def signed(px, py):
+        return F.lit(ux) * (py - F.lit(float(oy))) - F.lit(uy) * (px - F.lit(float(ox)))
+
+    def node_outside(x0, y0, x1, y1):
+        corners = [signed(x0, y0), signed(x1, y0), signed(x0, y1), signed(x1, y1)]
+        all_above = corners[0] > F.lit(float(dist))
+        all_below = corners[0] < F.lit(-float(dist))
+        for c in corners[1:]:
+            all_above = all_above & (c > F.lit(float(dist)))
+            all_below = all_below & (c < F.lit(-float(dist)))
+        return all_above | all_below
+
+    def sample_inside(px, py):
+        return F.abs(signed(px, py)) <= F.lit(float(dist))
+
+    return query_generic(samples, sample_inside, node_outside=node_outside, rel=rel)
 
 
 # ---------------------------------------------------------------------------
 # J9 Sample.Positions — point-lookup join (Query.fs:645-793)
 # ---------------------------------------------------------------------------
 
-def sample_positions(samples: DataFrame, positions: DataFrame) -> DataFrame:
+def sample_positions(
+    samples: DataFrame, positions: DataFrame, exponents: list[int] | None = None
+) -> DataFrame:
     """For each position (px, py), the sample cell containing it.
 
     The reference routes positions down the tree by quadrant
@@ -303,8 +384,13 @@ def sample_positions(samples: DataFrame, positions: DataFrame) -> DataFrame:
     positions: DataFrame (pid, px, py) — broadcast (query point sets are small
     relative to samples; for huge point sets drop the hint and let AQE pick).
     Returns (pid, px, py, cx, cy, e, <layers...>).
+    ``exponents``: caller-known exponent set — skips the discovery scan.
     """
-    exps = [r[0] for r in samples.select("e").distinct().collect()]
+    exps = (
+        sorted(set(exponents))
+        if exponents is not None
+        else [r[0] for r in samples.select("e").distinct().collect()]
+    )
     cand = None
     for e in exps:
         c = positions.select(

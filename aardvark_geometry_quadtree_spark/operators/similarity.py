@@ -96,9 +96,7 @@ def ann_topk(
     for p, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
             qb |= 1 << p
-    probe = [qb]
-    if max_hamming >= 1:
-        probe += [qb ^ (1 << p) for p in range(n_planes)]
+    probe = _probe_ring(qb, n_planes, max_hamming)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     return (
@@ -109,6 +107,85 @@ def ann_topk(
     )
 
 
+def _probe_ring(qb: int, n_planes: int, max_hamming: int) -> list[int]:
+    """Multi-probe bucket ring: all buckets within ``max_hamming`` bit flips."""
+    probe = [qb]
+    if max_hamming >= 1:
+        probe += [qb ^ (1 << p) for p in range(n_planes)]
+    if max_hamming >= 2:
+        probe += [
+            qb ^ (1 << p) ^ (1 << r) for p in range(n_planes) for r in range(p + 1, n_planes)
+        ]
+    return probe
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Precompute the ANN index: LSH bucket per vector, written as a
+    bucket-partitioned parquet table. This is the 100 TB path the query-time
+    scan cannot be: ``ann_topk_bucketed`` reads only the probed partitions
+    (partition pruning on the ``bucket`` directory key — 1 + n_planes
+    directories out of 2^n_planes), never the full table."""
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col)).first()[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    # one directory per bucket; within a bucket, files stay row-grouped for
+    # the scan. repartition by bucket so each partition writes one directory.
+    b.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k over a ``write_bucketed`` index: the bucket ring filter is a
+    partition-pruning predicate on the parquet directory key, so only the
+    probed buckets are read (check ``.explain``: the scan's partitionFilters
+    carry ``bucket IN (...)``)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qb = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << p
+    probe = _probe_ring(qb, n_planes, max_hamming)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def band_keys(vec: Column, planes: list[list[float]], bands: int) -> list[Column]:
+    """Split the sign signature over ``planes`` into ``bands`` integer band
+    keys (len(planes)/bands bits each)."""
+    rows = len(planes) // bands
+    keys = []
+    for b in range(bands):
+        out = F.lit(0).cast("long")
+        for j in range(rows):
+            pl = F.array(*[F.lit(v) for v in planes[b * rows + j]])
+            out = out + F.when(dot(vec, pl) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(out)
+    return keys
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -116,19 +193,33 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    bands: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: candidates from same-LSH-bucket
-    equi-self-join, verified by exact cosine >= threshold."""
+    """Embedding-cosine near-dup pairs: candidates from banded sign-LSH
+    equi-self-joins, verified by exact cosine >= threshold.
+
+    ``n_planes`` is the PER-BAND key width and ``bands`` the number of
+    independent bands (total signature = bands * n_planes planes). Bands
+    trade recall for candidate volume: a pair is a candidate if ANY band
+    key matches. At 10^9 vectors use n_planes=16, bands>=4: 65536 bucket
+    values per band keeps each equi-join bucket ~n/65536 (vs the former
+    single 8-bit key's O(n^2/256) blowup), and 4 bands recover the recall
+    the wider key costs.
+    """
     dim = embeddings.select(F.size(vec_col)).first()[0]
-    planes = hyperplanes(dim, n_planes, seed)
+    planes = hyperplanes(dim, bands * n_planes, seed)
+    keys = band_keys(F.col(vec_col), planes, bands)
     b = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), k.alias("key")) for i, k in enumerate(keys)])
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "key")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "key")
     return (
-        a.join(c, "bucket")
+        a.join(c, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("sim"))
         .filter(F.col("sim") >= threshold)

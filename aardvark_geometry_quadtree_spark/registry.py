@@ -27,25 +27,44 @@ def _avg(c: Column) -> Column:
 
 
 def _avg_int(c: Column) -> Column:
-    """Integer mean (a+b+c+d)/4 with long accumulation (Sampling.fs:18-20)."""
-    return F.floor(F.avg(c)).cast("long")
+    """Integer mean (a+b+c+d)/4 with TRUNCATING division (F# ``/`` on ints,
+    Sampling.fs:18-20). double->long cast truncates toward zero in Spark,
+    matching F# for negative sums where floor() would not."""
+    return (F.sum(c) / F.count(c)).cast("long")
 
 
-def _avg_vec(c: Column) -> Column:
-    """Element-wise mean of array<double> payloads (bilinear params, V-types)."""
-    return F.array(*[F.avg(F.element_at(c, i + 1)) for i in range(4)])
+def _avg_vec(n: int) -> Callable[[Column], Column]:
+    """Element-wise mean of an n-element array payload (resampleV2/V3/V4,
+    Sampling.fs:26-48 non-Norm variants; bilinear params and float colors)."""
+
+    def agg(c: Column) -> Column:
+        return F.array(*[F.avg(F.element_at(c, i + 1)) for i in range(n)])
+
+    return agg
 
 
 def _avg_normal(c: Column) -> Column:
-    """Normals: average then re-normalize (Sampling.fs:28-48)."""
+    """Normals: average then re-normalize (resampleV3fNorm/V3dNorm,
+    Sampling.fs:35-39)."""
     ax, ay, az = (F.avg(F.element_at(c, i + 1)) for i in range(3))
-    n = F.sqrt(ax * ax + ay * ay + az * az)
-    return F.array(ax / n, ay / n, az / n)
+    norm = F.sqrt(ax * ax + ay * ay + az * az)
+    return F.array(ax / norm, ay / norm, az / norm)
 
 
-def _avg_color(c: Column) -> Column:
-    """Colors: per-channel integer average (Sampling.fs:50-74)."""
-    return F.array(*[F.round(F.avg(F.element_at(c, i + 1))).cast("int") for i in range(3)])
+def _avg_color(n: int) -> Callable[[Column], Column]:
+    """Byte colors: per-channel integer mean with TRUNCATING division
+    (resampleC3b/C4b, Sampling.fs:50-61). C4b averages the alpha channel
+    too — n parameterizes the channel count."""
+
+    def agg(c: Column) -> Column:
+        return F.array(
+            *[
+                (F.sum(F.element_at(c, i + 1)) / F.count(F.element_at(c, i + 1))).cast("int")
+                for i in range(n)
+            ]
+        )
+
+    return agg
 
 
 @dataclass
@@ -96,14 +115,16 @@ register(Semantic("Volumes1f", "float", NAN))
 register(Semantic("Volumes1d", "double", NAN))
 register(Semantic("Normals3f", "array<float>", None, _avg_normal))
 register(Semantic("Normals3d", "array<double>", None, _avg_normal))
-register(Semantic("HeightsBilinear4f", "array<float>", None, _avg_vec))
-register(Semantic("HeightsBilinear4d", "array<double>", None, _avg_vec))
-register(Semantic("VolumesBilinear4f", "array<float>", None, _avg_vec))
-register(Semantic("VolumesBilinear4d", "array<double>", None, _avg_vec))
-register(Semantic("Colors3b", "array<int>", None, _avg_color))
-register(Semantic("Colors4b", "array<int>", None, _avg_color))
-register(Semantic("Colors3f", "array<float>", None, _avg_vec))
-register(Semantic("Colors4f", "array<float>", None, _avg_vec))
+register(Semantic("HeightsBilinear4f", "array<float>", None, _avg_vec(4)))
+register(Semantic("HeightsBilinear4d", "array<double>", None, _avg_vec(4)))
+register(Semantic("BilinearParams4f", "array<float>", None, _avg_vec(4)))
+register(Semantic("BilinearParams4d", "array<double>", None, _avg_vec(4)))
+register(Semantic("VolumesBilinear4f", "array<float>", None, _avg_vec(4)))
+register(Semantic("VolumesBilinear4d", "array<double>", None, _avg_vec(4)))
+register(Semantic("Colors3b", "array<int>", None, _avg_color(3)))
+register(Semantic("Colors4b", "array<int>", None, _avg_color(4)))
+register(Semantic("Colors3f", "array<float>", None, _avg_vec(3)))
+register(Semantic("Colors4f", "array<float>", None, _avg_vec(4)))
 # default plain column used by tests/bench
 register(Semantic("height", "double", NAN))
 

@@ -65,6 +65,52 @@ def load_manifest(path: str) -> dict:
         return json.load(f)
 
 
+def save_packed(
+    samples: DataFrame,
+    path: str,
+    split: int | None = None,
+    layers: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the PACKED tile format — one row per leaf tile with row-major
+    array payloads + per-layer masks (the real 100 TB storage layout; the
+    analogue of the reference's serialized QNode buffers,
+    Serialization.fs:318-335 / Tests/SerializationTests.fs:110-188).
+
+    Compared to exploded samples rows this stores one array cell per sample
+    instead of one parquet row (no per-row key overhead), while partition-by-
+    exponent + tile-key min/max stats keep the same pruning.
+    """
+    from ..operators.build import DEFAULT_SPLIT, pack_tiles
+
+    split = DEFAULT_SPLIT if split is None else split
+    layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    tiles = pack_tiles(samples, split, layers)
+    tiles.write.mode(mode).partitionBy("e").parquet(path)
+    manifest = {
+        "format": "packed",
+        "split": split,
+        "layers": layers,
+        "partition_cols": ["e"],
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_packed_tiles(spark: SparkSession, path: str) -> DataFrame:
+    """The packed tiles table as stored (lazy pruned scan)."""
+    return spark.read.parquet(path)
+
+
+def load_packed(spark: SparkSession, path: str) -> DataFrame:
+    """Load a packed store back as a samples frame (unpack is a JVM-side
+    posexplode per tile row; layer holes come back as canonical NULL)."""
+    from ..operators.build import unpack_tiles
+
+    man = load_manifest(path)
+    return unpack_tiles(spark.read.parquet(path), man["layers"])
+
+
 def enumerate_keys(spark: SparkSession, path: str) -> DataFrame:
     """Distinct stored cell keys (Quadtree.EnumerateKeys, Serialization.fs:598-610)."""
     return load_samples(spark, path).select("cx", "cy", "e").distinct()
