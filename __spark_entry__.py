@@ -23,13 +23,17 @@ from pyspark.sql import functions as F
 
 from aardvark_geometry_quadtree_spark.functions import cells as C
 from aardvark_geometry_quadtree_spark.operators import query as Q
-from aardvark_geometry_quadtree_spark.operators.build import build_tiles
+from aardvark_geometry_quadtree_spark.operators.build import (
+    build_tiles,
+    pack_tiles,
+    unpack_tiles,
+)
 from aardvark_geometry_quadtree_spark.operators.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     minhash_table,
-    simhash16,
+    simhash64_table,
     word_shingles,
 )
 from aardvark_geometry_quadtree_spark.operators.merge import Dominance, merge_samples
@@ -101,6 +105,7 @@ def _r6(df: DataFrame, *cols: str) -> DataFrame:
 _POLY = [(-300.3, -300.7), (300.1, -250.2), (250.4, 300.8), (-250.9, 250.1)]  # CCW convex
 _PROBES = [(0, 10.5, 20.5), (1, -100.2, 50.9), (2, 498.4, 495.5), (3, 0.0, 0.0), (4, -498.0, -495.0)]
 _N_PLANES = 6
+_N_BANDS = 2
 _EMB_DIM = 64
 
 
@@ -157,6 +162,53 @@ def q_pyramid_l2(spark, sf_dir):
     l1 = downsample_once(s, ["height"])
     l2 = downsample_once(l1, ["height"])
     return _r6(l2.select(F.col("cx"), F.col("cy"), F.col("e").cast("long").alias("e"), "height"), "height")
+
+
+def q_pyramid_types(spark, sf_dir):
+    """A1 per-type resamplers: one downsample level over int (truncating /4),
+    byte-color incl. alpha (truncating /4), and normal (mean + re-normalize)
+    layers — Sampling.fs:18-74 parity, one typed cell per document."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    base = d.select(
+        (did % 64).alias("cx"),
+        F.shiftright(did, 6).alias("cy"),
+        F.lit(0).cast("int").alias("e"),
+        F.col("n_chars").cast("int").alias("Intensities1i"),
+        F.array(
+            (did % 256).cast("int"),
+            ((did * 7) % 256).cast("int"),
+            ((did * 13) % 256).cast("int"),
+            ((did * 31) % 256).cast("int"),
+        ).alias("Colors4b"),
+        F.array(F.lit(1.0), (did % 5).cast("double"), ((did % 3) + 1).cast("double")).alias(
+            "Normals3d"
+        ),
+    )
+    lvl = downsample_once(base, ["Intensities1i", "Colors4b", "Normals3d"])
+    return lvl.select(
+        "cx",
+        "cy",
+        F.col("e").cast("long").alias("e"),
+        F.col("Intensities1i").alias("intensity"),
+        F.element_at("Colors4b", 1).alias("cr"),
+        F.element_at("Colors4b", 2).alias("cg"),
+        F.element_at("Colors4b", 3).alias("cb"),
+        F.element_at("Colors4b", 4).alias("ca"),
+        F.round(F.element_at("Normals3d", 1), 6).alias("nx"),
+        F.round(F.element_at("Normals3d", 2), 6).alias("ny"),
+        F.round(F.element_at("Normals3d", 3), 6).alias("nz"),
+    )
+
+
+def q_tile_payload(spark, sf_dir):
+    """S3 packed-tile payload roundtrip (Serialization.fs:318-335 parity):
+    samples -> packed array-per-tile rows (applyInPandas kernel, per-layer
+    masks) -> unpack (JVM posexplode) must be the identity."""
+    s = _doc_samples(spark, sf_dir).drop("n_docs")
+    packed = pack_tiles(s, split=3, layers=["height"])
+    back = unpack_tiles(packed, ["height"])
+    return _r6(back.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
 
 
 def q_inside_box(spark, sf_dir):
@@ -285,7 +337,10 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    """64-bit SimHash as 4x16-bit band words + canonical hex (Charikar '02;
+    one explode + one hash agg, not 64 per-bit aggregates)."""
+    t = simhash64_table(_docs(spark, sf_dir))
+    return t.select("doc_id", "sh0", "sh1", "sh2", "sh3", "simhash_hex")
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -304,8 +359,11 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embed_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (LSH candidates, exact verify)."""
-    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35, n_planes=_N_PLANES)
+    """Embedding-cosine near-dup pairs: BANDED sign-LSH candidates (2 bands x
+    6 planes here; 4 x 16 at corpus scale), exact-cosine verify."""
+    return embedding_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_planes=_N_PLANES, bands=_N_BANDS
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -360,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "tile_stats": q_tile_stats,
         "pyramid_l2": q_pyramid_l2,
+        "pyramid_types": q_pyramid_types,
+        "tile_payload": q_tile_payload,
         "inside_box": q_inside_box,
         "inside_cell": q_inside_cell,
         "intersects_cell": q_intersects_cell,
@@ -404,6 +464,19 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN {_dot_sql('embedding', _plane_lit(planes[p]))} >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(_N_PLANES)
     )
+    band_planes = hyperplanes(_EMB_DIM, _N_BANDS * _N_PLANES)
+    band_keys_sql = [
+        " + ".join(
+            f"(CASE WHEN {_dot_sql('embedding', _plane_lit(band_planes[b * _N_PLANES + j]))} >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(_N_PLANES)
+        )
+        for b in range(_N_BANDS)
+    ]
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, ({k}) AS key FROM embeddings"
+        for b, k in enumerate(band_keys_sql)
+    )
     sh = (
         "CASE WHEN len(trim(text)) = 0 THEN [trim(text)] "
         "WHEN len(string_split_regex(trim(text), '\\s+')) < 3 "
@@ -445,6 +518,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(2 AS BIGINT) AS e, round(avg(height), 6) AS height
             FROM l1 GROUP BY 1, 2, 3
         """,
+        "pyramid_types": """
+            WITH base AS (
+                SELECT doc_id % 64 AS cx, doc_id >> 6 AS cy,
+                       CAST(n_chars AS BIGINT) AS i,
+                       doc_id % 256 AS r, (doc_id*7) % 256 AS g,
+                       (doc_id*13) % 256 AS b, (doc_id*31) % 256 AS a,
+                       1.0 AS nx0, CAST(doc_id % 5 AS DOUBLE) AS ny0,
+                       CAST(doc_id % 3 + 1 AS DOUBLE) AS nz0
+                FROM documents),
+            agg AS (
+                SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e,
+                       CAST(trunc(CAST(sum(i) AS DOUBLE) / count(*)) AS BIGINT) AS intensity,
+                       CAST(trunc(CAST(sum(r) AS DOUBLE) / count(*)) AS INT) AS cr,
+                       CAST(trunc(CAST(sum(g) AS DOUBLE) / count(*)) AS INT) AS cg,
+                       CAST(trunc(CAST(sum(b) AS DOUBLE) / count(*)) AS INT) AS cb,
+                       CAST(trunc(CAST(sum(a) AS DOUBLE) / count(*)) AS INT) AS ca,
+                       avg(nx0) AS mx, avg(ny0) AS my, avg(nz0) AS mz
+                FROM base GROUP BY 1, 2)
+            SELECT cx, cy, e, intensity, cr, cg, cb, ca,
+                   round(mx / sqrt(mx*mx + my*my + mz*mz), 6) AS nx,
+                   round(my / sqrt(mx*mx + my*my + mz*mz), 6) AS ny,
+                   round(mz / sqrt(mx*mx + my*my + mz*mz), 6) AS nz
+            FROM agg
+        """,
+        "tile_payload": f"SELECT cx, cy, e, round(height, 6) AS height FROM ({S})",
         "inside_box": f"""
             SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
             WHERE cx + 0.5 >= -50 AND cx + 0.5 <= 120 AND cy + 0.5 >= -80 AND cy + 0.5 <= 60
@@ -599,13 +697,33 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
                 FROM documents),
-            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 4))::BIGINT AS w0,
+                         ('0x' || substr(md5(tok), 5, 4))::BIGINT AS w1,
+                         ('0x' || substr(md5(tok), 9, 4))::BIGINT AS w2,
+                         ('0x' || substr(md5(tok), 13, 4))::BIGINT AS w3
+                  FROM toks),
             bits AS (
-                SELECT doc_id, b.b AS b, sum(((hv >> b.b) & 1) * 2 - 1) AS s
-                FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
-                GROUP BY doc_id, b.b)
-            SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-            FROM bits GROUP BY doc_id
+                SELECT doc_id, b.b AS b,
+                       sum((((CASE b.b // 16 WHEN 0 THEN w0 WHEN 1 THEN w1
+                              WHEN 2 THEN w2 ELSE w3 END) >> (b.b % 16)) & 1) * 2 - 1) AS s
+                FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+                GROUP BY doc_id, b.b),
+            words AS (
+                SELECT doc_id, b // 16 AS w,
+                       CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS BIGINT) AS wv
+                FROM bits GROUP BY doc_id, b // 16)
+            SELECT doc_id,
+                   max(CASE WHEN w = 0 THEN wv END) AS sh0,
+                   max(CASE WHEN w = 1 THEN wv END) AS sh1,
+                   max(CASE WHEN w = 2 THEN wv END) AS sh2,
+                   max(CASE WHEN w = 3 THEN wv END) AS sh3,
+                   printf('%04x%04x%04x%04x',
+                          max(CASE WHEN w = 3 THEN wv END),
+                          max(CASE WHEN w = 2 THEN wv END),
+                          max(CASE WHEN w = 1 THEN wv END),
+                          max(CASE WHEN w = 0 THEN wv END)) AS simhash_hex
+            FROM words GROUP BY doc_id
         """,
         "cosine_topk": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -629,12 +747,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embed_dups": f"""
-            WITH b AS (SELECT vec_id, embedding, ({bucket_sql}) AS bucket FROM embeddings)
+            WITH b AS ({band_union})
             SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
                    round({_dot_sql('a.embedding', 'c.embedding')} /
                         (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
                          sqrt({_dot_sql('c.embedding', 'c.embedding')})), 6) AS sim
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
             WHERE {_dot_sql('a.embedding', 'c.embedding')} /
                   (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
                    sqrt({_dot_sql('c.embedding', 'c.embedding')})) >= 0.35

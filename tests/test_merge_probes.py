@@ -64,3 +64,70 @@ def test_more_detailed_probe_all_positions(spark):
     # coarse cells partially covered fragment to e0; total cells:
     # fine 4 + coarse clear 3 + fragments 0 (fine covers (0,0,1) exactly)
     assert m.count() == 7
+
+
+# ---------------------------------------------------------------------------
+# Centered / cross-origin constellations (MergeTests.fs:306-360): grids that
+# straddle the origin — the reference models these with centered root cells;
+# the samples model handles them as plain negative-coordinate rows.
+# ---------------------------------------------------------------------------
+
+def test_both_centered_different_depth_second_more_detailed(spark):
+    # MergeTests.fs:307-315: a = 2x2 e0 from (-1,-1), b = 4x4 e-1 from (-2,-2)
+    a = grid(spark, -1, -1, 2, 2, e=0, pattern="const", value=10.0)
+    b = grid(spark, -2, -2, 4, 4, e=-1, pattern="const", value=20.0, patch_id=1)
+    m = merge_samples(a, b, Dominance.MoreDetailedOrSecond)
+    assert _probe(spark, m, 0.25, 0.25) == 20.0
+    # b is strictly finer and fully covers a -> only b's 16 cells survive
+    assert m.count() == 16
+
+
+def test_both_centered_different_depth_first_more_detailed(spark):
+    # MergeTests.fs:317-327: same constellation, operands flipped
+    a = grid(spark, -1, -1, 2, 2, e=0, pattern="const", value=10.0)
+    b = grid(spark, -2, -2, 4, 4, e=-1, pattern="const", value=20.0, patch_id=1)
+    m = merge_samples(b, a, Dominance.MoreDetailedOrSecond)
+    assert _probe(spark, m, 0.25, 0.25) == 20.0
+    assert m.count() == 16
+
+
+def test_both_centered_same_detail_all_dominances(spark):
+    # MergeTests.fs:329-360: identical centered 2x2 grids under all dominances
+    a = grid(spark, -1, -1, 2, 2, e=0, pattern="const", value=10.0)
+    b = grid(spark, -1, -1, 2, 2, e=0, pattern="const", value=20.0, patch_id=1)
+    m1 = merge_samples(a, b, Dominance.FirstDominates)
+    assert _probe(spark, m1, 0.25, 0.25) == 10.0
+    assert m1.count() == 4
+    m2 = merge_samples(a, b, Dominance.SecondDominates)
+    assert _probe(spark, m2, 0.25, 0.25) == 20.0
+    assert m2.count() == 4
+    # MoreDetailedOrSecond ties on exponent -> second wins (probe at origin
+    # corner sample, MergeTests.fs:354-360)
+    m3 = merge_samples(a, b, Dominance.MoreDetailedOrSecond)
+    assert _probe(spark, m3, 0.0, 0.0) == 20.0
+    m4 = merge_samples(a, b, Dominance.MoreDetailedOrFirst)
+    assert _probe(spark, m4, 0.0, 0.0) == 10.0
+
+
+def test_cross_origin_partial_overlap_fragments(spark):
+    # cross-origin: coarse centered 2x2 at e1 ([-2,2)^2) vs fine 2x2 at e-1
+    # anchored in one quadrant ([0,1)^2) -> the (0,0,e1) coarse cell fragments
+    a = grid(spark, -1, -1, 2, 2, e=1, pattern="const", value=5.0)
+    b = grid(spark, 0, 0, 2, 2, e=-1, pattern="const", value=7.0, patch_id=1)
+    m = merge_samples(a, b, Dominance.MoreDetailedOrFirst)
+    assert _probe(spark, m, 0.25, 0.25) == 7.0     # fine region
+    assert _probe(spark, m, -1.0, -1.0) == 5.0     # untouched coarse quadrant
+    assert _probe(spark, m, 1.5, 1.5) == 5.0       # fragment of (0,0,1)
+    # coarse survivors 3 + fine 4 + fragments of (0,0,1): quadrants at e0
+    # except [0,1)^2 (3 cells) + its sub-quadrants at e-1 except b's 4 (0)
+    # (0,0,1) splits: e0 children {(0,0),(1,0),(0,1),(1,1)}; (0,0,0) is
+    # exactly covered by b's 2x2 at e-1 -> drops; 3 e0 fragments survive
+    assert m.count() == 3 + 4 + 3
+    # non-overlap invariant: no surviving cell is an ancestor of another
+    rows = [(r.cx, r.cy, r.e) for r in m.select("cx", "cy", "e").collect()]
+    cells = set(rows)
+    assert len(rows) == len(cells)
+    for (cx, cy, e) in cells:
+        for (dx, dy, de) in cells:
+            if de < e and (dx >> (e - de), dy >> (e - de)) == (cx, cy):
+                raise AssertionError(f"overlap: ({cx},{cy},{e}) contains ({dx},{dy},{de})")

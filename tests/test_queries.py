@@ -111,3 +111,46 @@ def test_lod_cut(spark):
     cut1 = Q.lod_cut(both, 1)
     assert cut1.count() == 16
     assert cut1.filter(F.col("e") == 1).count() == 16
+
+
+def test_inside_polygon_duplicated_vertices(q10x7):
+    """Polygon2d.WithoutMultiplePoints parity (Query.fs:455-458): repeated
+    vertices (and an explicit closing vertex) must not distort the winding
+    test — same result as the clean polygon."""
+    poly_in = [(1.5, 0.5), (7.5, 0.5), (7.5, 4.5), (1.5, 4.5)]
+    dup = [poly_in[0], poly_in[0], poly_in[1], poly_in[2], poly_in[2], poly_in[2],
+           poly_in[3], poly_in[0]]
+    clean = {(r.cx, r.cy) for r in Q.inside_polygon(q10x7, poly_in).collect()}
+    dirty = {(r.cx, r.cy) for r in Q.inside_polygon(q10x7, dup).collect()}
+    assert clean == dirty
+    # centers (x+.5, y+.5): x in 1..7, y in 0..4, boundary counted inside
+    assert len(clean) == 35
+
+
+def test_query_generic_custom_predicate(q10x7):
+    """Query.Generic as a user surface (Query.fs:342-432): a disc query
+    supplied as a (node_outside, node_inside, sample_inside) Column triple,
+    validated against per-row brute force."""
+    from pyspark.sql import functions as F
+
+    cx0, cy0, r = 5.0, 3.5, 2.5
+
+    def node_outside(x0, y0, x1, y1):
+        nx = F.greatest(x0, F.least(x1, F.lit(cx0)))
+        ny = F.greatest(y0, F.least(y1, F.lit(cy0)))
+        return (nx - cx0) * (nx - cx0) + (ny - cy0) * (ny - cy0) > F.lit(r * r)
+
+    def node_inside(x0, y0, x1, y1):
+        # farthest corner within the disc
+        fx = F.greatest(F.abs(x0 - cx0), F.abs(x1 - cx0))
+        fy = F.greatest(F.abs(y0 - cy0), F.abs(y1 - cy0))
+        return fx * fx + fy * fy <= F.lit(r * r)
+
+    def sample_inside(px, py):
+        return (px - cx0) * (px - cx0) + (py - cy0) * (py - cy0) <= F.lit(r * r)
+
+    got = {(row.cx, row.cy) for row in
+           Q.query_generic(q10x7, sample_inside, node_outside, node_inside).collect()}
+    want = {(x, y) for x in range(10) for y in range(7)
+            if (x + 0.5 - cx0) ** 2 + (y + 0.5 - cy0) ** 2 <= r * r}
+    assert got == want and len(got) > 0

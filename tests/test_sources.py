@@ -98,3 +98,36 @@ def test_frame_sampling_and_resize(spark):
     rz = resize_meta(media, max_side=256).collect()
     for r in rz:
         assert max(r["target_w"], r["target_h"]) <= 256 or r["scale"] == 1.0
+
+
+def test_packed_store_roundtrip(spark, tmp_path):
+    """Packed-tile persistence (Serialization.fs:318-335 payload roundtrip;
+    Tests/SerializationTests.fs:110-188): samples -> packed tiles on disk ->
+    samples, exact, including NULL layer holes and per-layer masks."""
+    from aardvark_geometry_quadtree_spark.sources.store import (
+        load_packed, load_packed_tiles, save_packed)
+
+    rows = [
+        (x, y, -1, float(x * 10 + y) if (x + y) % 3 else None, float(x))
+        for x in range(-4, 4)
+        for y in range(-4, 4)
+    ]
+    samples = spark.createDataFrame(rows, "cx long, cy long, e int, height double, slope double")
+    path = str(tmp_path / "packed")
+    save_packed(samples, path, split=2)
+    back = load_packed(spark, path)
+    a = {(r.cx, r.cy, r.e, r.height, r.slope) for r in samples.collect()}
+    b = {(r.cx, r.cy, r.e, r.height, r.slope) for r in back.collect()}
+    assert a == b
+
+    tiles = load_packed_tiles(spark, path)
+    t = tiles.collect()
+    # per-layer Mask1b: the height mask has holes where (x+y)%3==0, the
+    # slope mask is everywhere the occupancy mask is set
+    for r in t:
+        assert len(r["height_arr"]) == r["win_sx"] * r["win_sy"]
+        assert len(r["height_mask"]) == len(r["mask"])
+        assert all((not m) or c for m, c in zip(r["height_mask"], r["mask"]))
+        assert [m and c for m, c in zip([True] * len(r["mask"]), r["mask"])] == list(r["slope_mask"])
+    n_holes = sum(sum(1 for c, m in zip(r["mask"], r["height_mask"]) if c and not m) for r in t)
+    assert n_holes == sum(1 for x in range(-4, 4) for y in range(-4, 4) if (x + y) % 3 == 0)

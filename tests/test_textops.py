@@ -109,3 +109,58 @@ def test_embedding_dup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in S.embedding_dup_pairs(emb, threshold=0.95, n_planes=3).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_simhash_candidate_volume_subquadratic(spark):
+    """Guard: on a skewed corpus (every doc shares boilerplate tokens) the
+    banded 16-bit candidate join must stay far below the all-pairs count —
+    the round-1 8-bit half-keys degenerated to O(n^2/256)."""
+    n = 400
+    # skew: every doc shares the same 3 hot boilerplate tokens, but content
+    # is otherwise distinct (12 unique tokens) — NOT near-dups, so a good
+    # LSH should produce almost no candidates despite the hot tokens
+    uniq = ", ' ', ".join(f"md5(cast(id * {m} as string))" for m in
+                          (1, 7, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47))
+    docs = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"concat('the of and ', {uniq}) as text",
+    )
+    t = D.simhash64_table(docs)
+    # candidate volume = sum over (band, key) buckets of C(sz, 2)
+    from pyspark.sql import functions as F
+    parts = [t.select(F.col(f"sh{w}").alias("key"), F.lit(w).alias("band")) for w in range(4)]
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    buckets = keys.groupBy("band", "key").count().filter("count > 1")
+    cand = buckets.selectExpr("sum(count * (count - 1) / 2) as c").collect()[0]["c"] or 0
+    all_pairs = n * (n - 1) / 2
+    assert cand < 0.01 * all_pairs, (cand, all_pairs)
+
+
+def test_embedding_band_candidate_volume_subquadratic(spark):
+    """Same guard for the banded sign-LSH embedding keys (16 planes/band)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aardvark_geometry_quadtree_spark.operators.similarity import band_keys, hyperplanes
+
+    n, dim, bands, planes_per = 300, 32, 4, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2000)) / 1000.0 - 1.0)
+            for d in range(dim)
+        ]).alias("embedding"),
+    )
+    planes = hyperplanes(dim, bands * planes_per)
+    keys = band_keys(F.col("embedding"), planes, bands)
+    ex = emb.select(
+        F.explode(F.array(*[F.struct(F.lit(i).alias("band"), k.alias("key"))
+                            for i, k in enumerate(keys)])).alias("bk")
+    ).select("bk.band", "bk.key")
+    buckets = ex.groupBy("band", "key").count().filter("count > 1")
+    cand = buckets.selectExpr("sum(count * (count - 1) / 2) as c").collect()[0]["c"] or 0
+    assert cand < 0.02 * (n * (n - 1) / 2) * bands, cand
+    _ = math
