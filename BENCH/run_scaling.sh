@@ -24,42 +24,76 @@ mkdir -p /dev/shm/spark-local
 
 run() {
   local cores=$1
-  spark-submit --master "local[$cores]" --driver-memory 48g \
+  # 16g heap, NOT larger: at local[16] a 48g ParallelGC heap octupled JVM
+  # CPU-time (GC scan work) — 12M-page leg went 135.8s -> 20.3s on switching
+  # to 16g (jvm_cpu_sec 1236 -> 218 for the identical job)
+  spark-submit --master "local[$cores]" --driver-memory 16g \
     --conf spark.local.dir=/dev/shm/spark-local \
     --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC" \
     --py-files "$ZIP" \
     BENCH/scaling.py --cores "$cores" --pages "$PAGES" 2>/dev/null | tail -1
 }
 
+# The hypervisor throttles SUSTAINED load (invisible to guest steal
+# counters): whichever leg runs later in a long window measures a slower
+# host. Mitigations: alternate the leg order per rep, cool down between
+# legs, record a spin-probe capacity marker inside each leg, and report the
+# best adjacent (paired) window alongside per-leg minima.
+COOLDOWN="${COOLDOWN:-20}"
 LO_RUNS=()
 HI_RUNS=()
+ORDER=()
 for i in $(seq "$REPS"); do
-  echo "rep $i: local[$N_LO]..." >&2
-  LO_RUNS+=("$(run "$N_LO")")
-  echo "rep $i: local[$N_HI]..." >&2
-  HI_RUNS+=("$(run "$N_HI")")
+  if (( i % 2 == 1 )); then
+    echo "rep $i: local[$N_LO]..." >&2
+    LO_RUNS+=("$(run "$N_LO")"); ORDER+=("lo")
+    sleep "$COOLDOWN"
+    echo "rep $i: local[$N_HI]..." >&2
+    HI_RUNS+=("$(run "$N_HI")"); ORDER+=("hi")
+  else
+    echo "rep $i: local[$N_HI]..." >&2
+    HI_RUNS+=("$(run "$N_HI")"); ORDER+=("hi")
+    sleep "$COOLDOWN"
+    echo "rep $i: local[$N_LO]..." >&2
+    LO_RUNS+=("$(run "$N_LO")"); ORDER+=("lo")
+  fi
+  sleep "$COOLDOWN"
 done
 
-python - "$N_LO" "$N_HI" "${LO_RUNS[@]}" "${HI_RUNS[@]}" <<'EOF'
+python - "$N_LO" "$N_HI" "$REPS" "${LO_RUNS[@]}" "${HI_RUNS[@]}" <<'EOF'
 import json, sys
-n_lo, n_hi = int(sys.argv[1]), int(sys.argv[2])
-rest = [json.loads(x) for x in sys.argv[3:]]
-k = len(rest) // 2
-lo, hi = rest[:k], rest[k:]
+n_lo, n_hi, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+rest = [json.loads(x) for x in sys.argv[4:]]
+lo, hi = rest[:reps], rest[reps:]
 best_lo = min(lo, key=lambda r: r["wall_sec"])
 best_hi = min(hi, key=lambda r: r["wall_sec"])
-speedup = best_lo["wall_sec"] / best_hi["wall_sec"]
-eff = speedup / (n_hi / n_lo)
+ratio = n_hi / n_lo
+# per-rep PAIRED efficiency: the two legs of one rep share a time window
+pairs = []
+for i in range(reps):
+    eff = (lo[i]["wall_sec"] / hi[i]["wall_sec"]) / ratio
+    pairs.append({
+        "rep": i + 1,
+        "order": "lo_first" if i % 2 == 0 else "hi_first",
+        "lo_wall_sec": lo[i]["wall_sec"],
+        "hi_wall_sec": hi[i]["wall_sec"],
+        "lo_probe": lo[i].get("probe_mloops_per_core"),
+        "hi_probe": hi[i].get("probe_mloops_per_core"),
+        "efficiency": round(eff, 3),
+    })
+best_pair = max(pairs, key=lambda p: p["efficiency"])
 out = {
     "n_lo": n_lo,
     "n_hi": n_hi,
-    "reps": k,
+    "reps": reps,
     "best_lo": best_lo,
     "best_hi": best_hi,
     "all_lo_wall_sec": [r["wall_sec"] for r in lo],
     "all_hi_wall_sec": [r["wall_sec"] for r in hi],
-    "speedup": round(speedup, 3),
-    "scaling_efficiency": round(eff, 3),
+    "min_over_min_efficiency": round((best_lo["wall_sec"] / best_hi["wall_sec"]) / ratio, 3),
+    "paired_windows": pairs,
+    "best_paired_efficiency": best_pair["efficiency"],
+    "best_pair": best_pair,
     "target": 0.8,
 }
 print(json.dumps(out, indent=2))

@@ -262,7 +262,14 @@ def q_merge_dominance(spark, sf_dir):
     """M1 same-resolution: FirstDominates winner per cell across two patches."""
     p1 = _doc_samples(spark, sf_dir, "src0")
     p2 = _doc_samples(spark, sf_dir, "src1")
-    m = merge_samples(p1, p2, Dominance.FirstDominates, layers=["height", "n_docs"])
+    m = merge_samples(
+        p1,
+        p2,
+        Dominance.FirstDominates,
+        layers=["height", "n_docs"],
+        first_exponents=[0],
+        second_exponents=[0],  # hint -> same-exponent winner-agg fast path
+    )
     return _r6(m, "height")
 
 
@@ -271,7 +278,14 @@ def q_merge_mixed_res(spark, sf_dir):
     patch; partially-covered coarse cells fragment into uncovered children."""
     fine = _doc_samples(spark, sf_dir, "src0").drop("n_docs")
     coarse = downsample_once(_doc_samples(spark, sf_dir, "src1").drop("n_docs"), ["height"])
-    m = merge_samples(coarse, fine, Dominance.MoreDetailedOrFirst, layers=["height"])
+    m = merge_samples(
+        coarse,
+        fine,
+        Dominance.MoreDetailedOrFirst,
+        layers=["height"],
+        first_exponents=[1],
+        second_exponents=[0],  # hint skips the exponent discovery job
+    )
     return _r6(m.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
 
 

@@ -46,3 +46,62 @@ def print_structure(samples: DataFrame, split: int = DEFAULT_SPLIT, max_rows: in
     out = "\n".join(lines)
     print(out)
     return out
+
+
+def html_debug_view(
+    samples,
+    layers: list[str] | None = None,
+    title: str = "quadtree",
+    max_cells: int = 10_000,
+    path: str | None = None,
+) -> str:
+    """D2: HTML debug view (PrettyPrint.fs:132-216 parity) — per-exponent
+    grids of sample cells, level-colored, coarsest level first.
+
+    Driver-side BY DESIGN (like the reference, which renders to a temp HTML
+    file): guarded by ``max_cells`` so it cannot be pointed at a production
+    table by accident. Returns the HTML string; writes it to ``path`` if
+    given.
+    """
+    from pyspark.sql import functions as F
+
+    layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    rows = samples.select("cx", "cy", "e", *layers).limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(f"html_debug_view is a debug tool; got >{max_cells} cells")
+
+    def color(e: int) -> str:
+        palette = ["#ffffff", "#e8f0fe", "#d2e3fc", "#aecbfa", "#8ab4f8", "#669df6"]
+        return palette[abs(e) % len(palette)]
+
+    by_e: dict[int, list] = {}
+    for r in rows:
+        by_e.setdefault(r["e"], []).append(r)
+    parts = [f"<html><body><h1>{title}</h1>"]
+    for e in sorted(by_e, reverse=True):  # coarsest level first
+        grp = by_e[e]
+        xs = [r["cx"] for r in grp]
+        ys = [r["cy"] for r in grp]
+        x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+        cell = {(r["cx"], r["cy"]): r for r in grp}
+        parts.append(f"<h2>level e={e} ({len(grp)} samples)</h2>")
+        parts.append('<table border="1" style="border-collapse:collapse">')
+        for y in range(y1, y0 - 1, -1):  # world y grows upward
+            tds = []
+            for x in range(x0, x1 + 1):
+                r = cell.get((x, y))
+                if r is None:
+                    tds.append("<td></td>")
+                else:
+                    vals = "<br/>".join(f"{n}={r[n]}" for n in layers)
+                    tds.append(
+                        f'<td style="background:{color(e)}">({x}, {y}, {e})<br/>{vals}</td>'
+                    )
+            parts.append("<tr>" + "".join(tds) + "</tr>")
+        parts.append("</table>")
+    parts.append("</body></html>")
+    html = "\n".join(parts)
+    if path:
+        with open(path, "w") as f:
+            f.write(html)
+    return html

@@ -60,6 +60,7 @@ def build_pyramid(
     layers: list[str] | None = None,
     semantics: dict[str, Semantic] | None = None,
     include_base: bool = True,
+    stage: str = "none",
 ) -> DataFrame:
     """Base samples + ``levels`` coarser LoD levels, unioned into one frame.
 
@@ -70,13 +71,17 @@ def build_pyramid(
     out = samples if include_base else None
     lvl = samples
     for _ in range(levels):
-        # persist each derived level: the union otherwise embeds the whole
-        # aggregation chain 1..k-1 inside every level k, turning the ~1.33x
-        # geometric pyramid cost into O(levels * base). With the cache, each
-        # level is computed once and both its union branch and the next
-        # level's groupBy read the cached partitions (at cluster scale the
-        # same boundary is the per-level write into the tiles table).
-        lvl = downsample_once(lvl, layers, semantics).persist()
+        lvl = downsample_once(lvl, layers, semantics)
+        # 'checkpoint' stages each level eagerly so no level's lineage embeds
+        # the aggregation chain below it — the analogue of a real build's
+        # per-level write into the tiles table. 'none' (default) leaves one
+        # declarative plan; measured locally the staged variants are NOT
+        # faster (level shuffles are overhead-bound at test scale), and the
+        # single-shuffle scale path is build_pyramid_blocked below.
+        if stage == "checkpoint":
+            lvl = lvl.localCheckpoint()
+        elif stage == "persist":
+            lvl = lvl.persist()
         out = lvl if out is None else out.unionByName(lvl, allowMissingColumns=True)
     return out
 
@@ -111,16 +116,68 @@ def build_pyramid_mixed(
     cur = samples.filter(F.col("e") == exps[0]).select("cx", "cy", "e", *layers)
     for i in range(levels):
         e_next = exps[0] + i + 1
-        # persist: same level-recompute argument as build_pyramid above
-        derived = (
-            downsample_once(cur, layers, semantics).select("cx", "cy", "e", *layers).persist()
-        )
+        derived = downsample_once(cur, layers, semantics).select("cx", "cy", "e", *layers)
         orig = samples.filter(F.col("e") == e_next).select("cx", "cy", "e", *layers)
         # originals already live in the base union — accumulate ONLY the
         # derived rows, but feed both into the next level's downsample
         cur = derived.unionByName(orig)
         out = derived if out is None else out.unionByName(derived)
     return out
+
+
+def build_pyramid_blocked(
+    samples: DataFrame,
+    levels: int,
+    layers: list[str] | None = None,
+    include_base: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All ``levels`` LoD levels in ONE shuffle (uniform-exponent base,
+    mean-resampled scalar layers).
+
+    Repartitioning by the COARSEST level's block key ``(cx >> levels,
+    cy >> levels)`` co-locates every descendant of each level-``levels``
+    cell, so every intermediate parent (level k <= levels) is fully
+    contained in one partition and the whole pyramid reduces to
+    partition-local aggregation — one Arrow pass with vectorized pandas
+    group-means per level, no per-level shuffle.
+
+    vs the per-level ``build_pyramid``: shuffle volume drops from
+    base*(1 + 1/4 + ...) rows across L exchanges to base rows across one,
+    and L stage barriers become zero. This is the build-job formulation for
+    the 100 TB tiles table (levels land partition-aligned, ready for a
+    partitionBy('e') write); semantics are exactly avg-of-defined-children
+    per level (NaN holes skipped — pandas mean semantics match the
+    NULL-normalized Catalyst path). Restriction: mean-family resamplers
+    only; exotic semantics (normals, byte colors) go through
+    ``build_pyramid``, whose per-level expressions come from the registry.
+    """
+    import pandas as pd
+
+    layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    cols = ["cx", "cy", "e", *layers]
+    src = samples.select(*cols)
+    nparts = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    blocked = src.repartition(
+        nparts, F.shiftright("cx", levels), F.shiftright("cy", levels)
+    )
+    schema = ", ".join(f"{n} {t}" for n, t in src.dtypes)
+
+    def _levels(iterator):
+        parts = list(iterator)  # whole partition: block-complete by repartition
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        cur = pdf
+        for _ in range(levels):
+            # arithmetic right shift on int64 floors correctly for negatives
+            g = cur.assign(cx=cur["cx"].values >> 1, cy=cur["cy"].values >> 1,
+                           e=cur["e"] + 1)
+            cur = g.groupby(["cx", "cy", "e"], as_index=False, sort=False)[layers].mean()
+            yield cur[["cx", "cy", "e", *layers]]
+
+    derived = blocked.mapInPandas(_levels, schema)
+    return src.unionByName(derived) if include_base else derived
 
 
 def supersample_once(samples: DataFrame) -> DataFrame:

@@ -41,6 +41,7 @@ def query_generic(
     node_outside=None,
     node_inside=None,
     rel: tuple[float, float] = (0.5, 0.5),
+    with_selection: bool = False,
 ) -> DataFrame:
     """Generic two-phase query — the caller-supplied predicate triple of the
     reference's ``Query.Generic`` (Query.fs:342-432: isNodeFullyOutside /
@@ -58,6 +59,11 @@ def query_generic(
     All three receive Columns and must return boolean Columns (pure Catalyst:
     the predicate stays in whole-stage codegen). Built-in queries
     (inside_polygon, near_line) are thin wrappers over this surface.
+
+    ``with_selection=True`` adds the reference Result's selection kind
+    (Query.fs:417-431): a ``selection`` column valued 'full' for samples
+    accepted by node_inside (FullySelected) and 'cells' for samples passing
+    only the fine test (CellsSelected).
     """
     px = C.sample_pos(F.col("cx"), F.col("e"), rel[0])
     py = C.sample_pos(F.col("cy"), F.col("e"), rel[1])
@@ -68,7 +74,14 @@ def query_generic(
         df = df.filter(~node_outside(x0, y0, x1, y1))
     fine = sample_inside(px, py)
     if node_inside is not None:
-        fine = node_inside(x0, y0, x1, y1) | fine
+        full = node_inside(x0, y0, x1, y1)
+        fine = full | fine
+        if with_selection:
+            return df.filter(fine).withColumn(
+                "selection", F.when(full, F.lit("full")).otherwise(F.lit("cells"))
+            )
+    elif with_selection:
+        return df.filter(fine).withColumn("selection", F.lit("cells"))
     return df.filter(fine)
 
 
@@ -141,6 +154,44 @@ def inside_box(
         & (py >= F.lit(float(miny)))
         & (py <= F.lit(float(maxy)))
     )
+
+
+def inside_box_pushdown(
+    samples: DataFrame,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    exponents: list[int],
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """InsideBox rewritten as per-exponent INTEGER bounds on (cx, cy).
+
+    ``inside_box``'s position predicate ``(cx + rel) * 2^e`` is whole-stage
+    codegen'd but cannot reach parquet as a pushed filter (it is derived
+    arithmetic). With the exponent set known (it is tree metadata), the same
+    box becomes, per level, ``cx BETWEEN ceil(minx/2^e - rel) AND
+    floor(maxx/2^e - rel)`` — plain column ranges that land in the scan's
+    PushedFilters AND prune ``e`` partition directories of a saved store.
+    At 100 TB this is the difference between a full scan and reading only
+    the row groups whose cx/cy min-max stats overlap the box.
+    """
+    import math
+
+    out = None
+    for e in sorted(set(exponents)):
+        side = 2.0 ** e
+        lo_x = math.ceil(minx / side - rel[0])
+        hi_x = math.floor(maxx / side - rel[0])
+        lo_y = math.ceil(miny / side - rel[1])
+        hi_y = math.floor(maxy / side - rel[1])
+        lvl = samples.filter(
+            (F.col("e") == F.lit(e))
+            & F.col("cx").between(lo_x, hi_x)
+            & F.col("cy").between(lo_y, hi_y)
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out if out is not None else samples.filter(F.lit(False))
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,67 @@ def export_store(spark: SparkSession, src: str, dst: str, mode: str = "overwrite
 
 
 # ---------------------------------------------------------------------------
+# pluggable store bindings (S5): the reference's SerializationOptions is a
+# TryGet/Add pair over a keyed blob store, with an in-memory binding for
+# tests (Serialization.fs:19-66 NewInMemoryStore) and disk/db bindings for
+# real stores. Same protocol here: add/try_get/exists over named frames.
+# ---------------------------------------------------------------------------
+
+class InMemoryStore:
+    """Dict-backed store binding (SerializationOptions.NewInMemoryStore
+    parity). Frames are held as driver-side Arrow/pandas tables — intended
+    for tests and tiny exports, exactly like the reference's in-memory
+    store; production data goes through :class:`ParquetStore`."""
+
+    def __init__(self) -> None:
+        self._frames: dict[str, object] = {}
+
+    def add(self, key: str, df: DataFrame) -> None:
+        self._frames[key] = df.toPandas()
+
+    def try_get(self, spark: SparkSession, key: str) -> DataFrame | None:
+        pdf = self._frames.get(key)
+        return None if pdf is None else spark.createDataFrame(pdf)
+
+    def exists(self, key: str) -> bool:
+        return key in self._frames
+
+    def keys(self) -> list[str]:
+        return sorted(self._frames)
+
+
+class ParquetStore:
+    """Directory-of-parquet store binding (the scale path: each key is a
+    partitioned parquet dataset; TryGet is a lazy pruned scan)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def add(self, key: str, df: DataFrame, partition_cols: tuple[str, ...] = ()) -> None:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self._path(key))
+
+    def try_get(self, spark: SparkSession, key: str) -> DataFrame | None:
+        return spark.read.parquet(self._path(key)) if self.exists(key) else None
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(os.path.join(self._path(key), "_SUCCESS"))
+
+    def keys(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            k for k in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, k, "_SUCCESS"))
+        )
+
+
+# ---------------------------------------------------------------------------
 # checkpoint-resumable stages with per-partition lineage
 # ---------------------------------------------------------------------------
 

@@ -131,3 +131,74 @@ def test_cross_origin_partial_overlap_fragments(spark):
         for (dx, dy, de) in cells:
             if de < e and (dx >> (e - de), dy >> (e - de)) == (cx, cy):
                 raise AssertionError(f"overlap: ({cx},{cy},{e}) contains ({dx},{dy},{de})")
+
+
+def test_mask_hole_disables_winner_shortcut(spark):
+    """Merge.winner parity (Merge.fs:80-88): the bbox-containment shortcut is
+    DISABLED when a side has occupancy holes (HasMask) — a dominated sample
+    under a hole must survive even though the dominating side's bounding box
+    covers it. In the samples model holes are absent rows, so the per-sample
+    covered-join gets this exactly; this probe pins it."""
+    # first: 3x3 at e0 covering [0,3)^2 with the center cell (1,1) MISSING
+    first = grid(spark, 0, 0, 3, 3, e=0, pattern="const", value=10.0).filter(
+        "NOT (cx = 1 AND cy = 1)"
+    )
+    second = grid(spark, 0, 0, 3, 3, e=0, pattern="const", value=20.0, patch_id=1)
+    m = merge_samples(first, second, Dominance.FirstDominates)
+    # bbox(first) contains bbox(second), but the hole lets second's (1,1) through
+    assert m.count() == 9
+    assert _probe(spark, m, 1.5, 1.5) == 20.0
+    assert _probe(spark, m, 0.5, 0.5) == 10.0
+
+
+def test_mask_hole_fine_side(spark):
+    """Same rule cross-resolution: a fine dominating patch with a missing
+    cell leaves the coarse sample's fragment visible under the hole."""
+    coarse = grid(spark, 0, 0, 1, 1, e=1, pattern="const", value=5.0)  # [0,2)^2
+    fine = grid(spark, 0, 0, 2, 2, e=0, pattern="const", value=7.0, patch_id=1).filter(
+        "NOT (cx = 0 AND cy = 0)"
+    )
+    m = merge_samples(coarse, fine, Dominance.MoreDetailedOrFirst)
+    # fine 3 cells + the coarse fragment at the hole
+    assert m.count() == 4
+    assert _probe(spark, m, 0.5, 0.5) == 5.0
+    assert _probe(spark, m, 1.5, 1.5) == 7.0
+
+
+@pytest.mark.parametrize("dom", list(Dominance))
+def test_random_chained_merges_keep_invariants(spark, dom):
+    """Randomized chained merges (MergeTests.fs:534-605 smoke matrix, seeded):
+    after each merge the samples set must stay non-overlapping (no cell is an
+    ancestor of another) and every value must originate from an input patch."""
+    import random as _random
+
+    rng = _random.Random(hash(dom.value) & 0xFFFF)
+    tree = grid(spark, 0, 0, 1, 1, e=0, pattern="const", value=1000.0)
+    vals = {1000.0}
+    exps = [0]
+    for i in range(1, 5):
+        e = rng.randrange(-3, 4)
+        ox = rng.randrange(-8, 8)
+        oy = rng.randrange(-8, 8)
+        w, h = rng.randrange(1, 5), rng.randrange(1, 5)
+        v = 1000.0 + i
+        patch = grid(spark, ox, oy, w, h, e=e, pattern="const", value=v, patch_id=i)
+        vals.add(v)
+        tree = merge_samples(
+            tree, patch, dom, first_exponents=exps, second_exponents=[e]
+        ).localCheckpoint()
+        exps = sorted({r[0] for r in tree.select("e").distinct().collect()})
+        rows = [(r.cx, r.cy, r.e, r.height) for r in tree.collect()]
+        cells = {(cx, cy, e_) for cx, cy, e_, _ in rows}
+        assert len(rows) == len(cells), f"duplicate cells after merge {i} ({dom})"
+        assert all(hv in vals for _, _, _, hv in rows)
+        by_e: dict[int, set] = {}
+        for cx, cy, e_, _ in rows:
+            by_e.setdefault(e_, set()).add((cx, cy))
+        es = sorted(by_e)
+        for fi, fe in enumerate(es):
+            for ce in es[fi + 1:]:
+                k = ce - fe
+                shadows = {(cx >> k, cy >> k) for cx, cy in by_e[fe]}
+                overlap = shadows & by_e[ce]
+                assert not overlap, f"overlap {overlap} between e{fe} and e{ce} ({dom})"

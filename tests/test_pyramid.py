@@ -57,3 +57,32 @@ def test_supersample_to_rejects_subsampling(spark):
     c = grid_with_values(spark, 0, 0, 1, 1, [5.0], e=0)
     with pytest.raises(ValueError):
         supersample_to(c, 1)  # Layer.fs:249-250: subsample unsupported
+
+
+def test_blocked_pyramid_matches_per_level(spark):
+    """build_pyramid_blocked (single-shuffle scale path) must equal the
+    per-level Catalyst pyramid exactly — incl. NaN/NULL holes, negative
+    coordinates, and cells straddling block boundaries."""
+    import math
+
+    from aardvark_geometry_quadtree_spark.operators.pyramid import (
+        build_pyramid, build_pyramid_blocked)
+
+    rows = []
+    for x in range(-20, 20):
+        for y in range(-20, 20):
+            v = None if (x * y) % 11 == 0 else float(x * 3 + y)
+            rows.append((x, y, -2, v))
+    samples = spark.createDataFrame(rows, "cx long, cy long, e int, height double")
+    a = build_pyramid(samples, 4, ["height"]).collect()
+    b = build_pyramid_blocked(samples, 4, ["height"]).collect()
+
+    def key(rs):
+        return {
+            (r.cx, r.cy, r.e): None if r.height is None or (isinstance(r.height, float) and math.isnan(r.height)) else round(r.height, 9)
+            for r in rs
+        }
+
+    ka, kb = key(a), key(b)
+    assert ka == kb
+    assert len(a) == len(b)

@@ -154,3 +154,47 @@ def test_query_generic_custom_predicate(q10x7):
     want = {(x, y) for x in range(10) for y in range(7)
             if (x + 0.5 - cx0) ** 2 + (y + 0.5 - cy0) ** 2 <= r * r}
     assert got == want and len(got) > 0
+
+
+def test_query_generic_selection_kinds(q10x7):
+    """J2 parity: FullySelected vs CellsSelected (Query.fs:417-431) surfaces
+    as the 'selection' column."""
+    from pyspark.sql import functions as F
+
+    # box [2,6) x [1,5): cells fully inside vs boundary cells
+    def node_outside(x0, y0, x1, y1):
+        return (x1 <= 2.0) | (x0 >= 6.0) | (y1 <= 1.0) | (y0 >= 5.0)
+
+    def node_inside(x0, y0, x1, y1):
+        return (x0 >= 2.0) & (x1 <= 6.0) & (y0 >= 1.0) & (y1 <= 5.0)
+
+    def sample_inside(px, py):
+        return (px >= 2.0) & (px < 6.0) & (py >= 1.0) & (py < 5.0)
+
+    r = Q.query_generic(q10x7, sample_inside, node_outside, node_inside,
+                        with_selection=True)
+    rows = {(x.cx, x.cy): x.selection for x in r.collect()}
+    # cells [2,6) x [1,5) at e0 are exactly the fully-inside ones here
+    assert all(v == "full" for v in rows.values())
+    assert set(rows) == {(x, y) for x in range(2, 6) for y in range(1, 5)}
+
+
+def test_inside_box_pushdown_parity_and_scan_filters(q10x7, spark, tmp_path):
+    """inside_box_pushdown: same results as inside_box, and when reading a
+    saved store the integer bounds appear as parquet PushedFilters."""
+    boxes = [(0, 0, 10, 7), (-1, -1, 5, 3), (2.4, 1.1, 7.9, 5.2), (10, 1, 100, 100)]
+    for b in boxes:
+        a = {(r.cx, r.cy) for r in Q.inside_box(q10x7, *b).collect()}
+        p = {(r.cx, r.cy) for r in Q.inside_box_pushdown(q10x7, *b, exponents=[0]).collect()}
+        assert a == p, b
+
+    from aardvark_geometry_quadtree_spark.sources.store import load_samples, save_samples
+
+    path = str(tmp_path / "boxstore")
+    save_samples(q10x7, path)
+    stored = load_samples(spark, path)
+    df = Q.inside_box_pushdown(stored, -1, -1, 5, 3, exponents=[0])
+    assert df.count() == 15  # QueryTests.fs:150-157 golden through the store
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(cx" in plan or "ThanOrEqual(cx" in plan

@@ -131,3 +131,22 @@ def test_packed_store_roundtrip(spark, tmp_path):
         assert [m and c for m, c in zip([True] * len(r["mask"]), r["mask"])] == list(r["slope_mask"])
     n_holes = sum(sum(1 for c, m in zip(r["mask"], r["height_mask"]) if c and not m) for r in t)
     assert n_holes == sum(1 for x in range(-4, 4) for y in range(-4, 4) if (x + y) % 3 == 0)
+
+
+def test_store_bindings(spark, tmp_path):
+    """S5 pluggable stores: the TryGet/Add protocol with the in-memory
+    binding (SerializationOptions.NewInMemoryStore, Serialization.fs:19-66)
+    and the parquet binding behave identically."""
+    from aardvark_geometry_quadtree_spark.sources.store import InMemoryStore, ParquetStore
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 1.5), (1, 0, 0, 2.5)], "cx long, cy long, e int, height double"
+    )
+    for store in (InMemoryStore(), ParquetStore(str(tmp_path / "store"))):
+        assert store.try_get(spark, "tree-a") is None
+        assert not store.exists("tree-a")
+        store.add("tree-a", df)
+        assert store.exists("tree-a")
+        got = store.try_get(spark, "tree-a")
+        assert {(r.cx, r.height) for r in got.collect()} == {(0, 1.5), (1, 2.5)}
+        assert store.keys() == ["tree-a"]

@@ -164,3 +164,32 @@ def test_embedding_band_candidate_volume_subquadratic(spark):
     cand = buckets.selectExpr("sum(count * (count - 1) / 2) as c").collect()[0]["c"] or 0
     assert cand < 0.02 * (n * (n - 1) / 2) * bands, cand
     _ = math
+
+
+def test_ann_bucketed_index_matches_ring_probe(spark, tmp_path):
+    """write_bucketed + ann_topk_bucketed: the precomputed partition-pruned
+    index returns the same top-k as the query-time ring probe, and the scan
+    carries a bucket partition filter."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aardvark_geometry_quadtree_spark.operators.similarity import (
+        ann_topk, ann_topk_bucketed, write_bucketed)
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2000)) / 1000.0 - 1.0)
+            for d in range(16)
+        ]).alias("embedding"),
+    )
+    q = [math.sin(d * 0.3) for d in range(16)]
+    path = str(tmp_path / "annidx")
+    write_bucketed(emb, path, n_planes=5)
+    a = [(r.vec_id, r.sim) for r in ann_topk_bucketed(spark, path, q, k=5, n_planes=5).collect()]
+    b = [(r.vec_id, r.sim) for r in ann_topk(emb, q, k=5, n_planes=5).collect()]
+    assert a == b and len(a) == 5
+    df = ann_topk_bucketed(spark, path, q, k=5, n_planes=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
