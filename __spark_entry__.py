@@ -388,6 +388,47 @@ def q_multimodal_features(spark, sf_dir):
     return m.select("media_id", "n_bytes", *cols)
 
 
+def q_stream_windowed(spark, sf_dir):
+    """F9+ streaming: watermarked event-time window aggregation per cell,
+    run as an availableNow single-batch pass over the events table (file
+    source -> withWatermark -> window groupBy -> append-mode memory sink).
+    Deterministic: one batch means the final watermark is max(ts) - delay,
+    and exactly the windows closed by it are emitted — which is what the
+    SQL oracle computes."""
+    import tempfile
+    import uuid
+
+    from aardvark_geometry_quadtree_spark.streaming.events_stream import windowed_cell_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the table is a single parquet file; the streaming file source wants a
+    # directory, so stream the parent with a glob pinned to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"winq_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_cell_counts(stream, "15 minutes", "1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qt_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        F.col("win_start").cast("long").alias("win_start_epoch"),
+        "cx",
+        "cy",
+        F.col("e").cast("long").alias("e"),
+        "n_events",
+        "avg_value",
+    )
+
+
 def q_webpages_ingest(spark, sf_dir):
     """Graft ingest (no oracle: xxhash64 geocode): synth web pages -> geocode
     -> samples; returns per-cell tile assignment at split=4."""
@@ -458,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embed_dups": q_embed_dups,
         "multimodal_features": q_multimodal_features,
+        "stream_windowed": q_stream_windowed,
         "webpages_ingest": q_webpages_ingest,
         "text_identity": q_text_identity,
     }
@@ -770,6 +812,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_dot_sql('a.embedding', 'c.embedding')} /
                   (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
                    sqrt({_dot_sql('c.embedding', 'c.embedding')})) >= 0.35
+        """,
+        "stream_windowed": """
+            WITH cells AS (
+                SELECT ts, value,
+                       (user_id*73) % 997 - 498 AS cx,
+                       (user_id*179) % 991 - 495 AS cy,
+                       CAST(0 AS BIGINT) AS e
+                FROM events),
+            wm AS (SELECT max(ts) - INTERVAL 15 MINUTE AS w FROM events),
+            agg AS (
+                SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, cx, cy, e,
+                       count(*) AS n_events, round(avg(value), 6) AS avg_value
+                FROM cells GROUP BY 1, 2, 3, 4)
+            SELECT CAST(epoch(ws) AS BIGINT) AS win_start_epoch, cx, cy, e,
+                   n_events, avg_value
+            FROM agg WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         """,
         "multimodal_features": """
             WITH m AS (
