@@ -293,7 +293,7 @@ def q_lod_cut(spark, sf_dir):
     """J3 + MinExponent: per-location finest level of a 2-level pyramid."""
     s = _doc_samples(spark, sf_dir, "src2").drop("n_docs")
     pyr = build_pyramid(s, levels=1, layers=["height"])
-    cut = Q.lod_cut(pyr, 0)
+    cut = Q.lod_cut(pyr, 0, exponents=[0, 1])  # hint skips the discovery job
     return _r6(cut.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
 
 
