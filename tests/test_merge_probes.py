@@ -202,3 +202,80 @@ def test_random_chained_merges_keep_invariants(spark, dom):
                 shadows = {(cx >> k, cy >> k) for cx, cy in by_e[fe]}
                 overlap = shadows & by_e[ce]
                 assert not overlap, f"overlap {overlap} between e{fe} and e{ce} ({dom})"
+
+
+@pytest.mark.parametrize("dom", [Dominance.FirstDominates, Dominance.SecondDominates])
+def test_random_chain_point_values_match_fold_oracle(spark, dom):
+    """Differential check (randomized analogue of MergeTests.fs:534-605 with
+    a VALUE oracle): for First/SecondDominates the fold semantics at any
+    point are exactly 'first/last patch covering the point wins' — no
+    fragment-exponent reasoning needed — so chain-merge results can be
+    verified point-by-point against a trivial Python resolver."""
+    import random as _random
+
+    rng = _random.Random(97 if dom == Dominance.FirstDominates else 131)
+    specs = []
+    for i in range(6):
+        e = rng.randrange(-2, 3)
+        specs.append((rng.randrange(-6, 6), rng.randrange(-6, 6),
+                      rng.randrange(1, 5), rng.randrange(1, 5), e, 100.0 + i))
+
+    tree = None
+    exps: list[int] = []
+    for i, (ox, oy, w, h, e, v) in enumerate(specs):
+        patch = grid(spark, ox, oy, w, h, e=e, pattern="const", value=v, patch_id=i)
+        if tree is None:
+            tree = patch.select("cx", "cy", "e", "height")
+            exps = [e]
+        else:
+            tree = merge_samples(
+                tree, patch, dom, first_exponents=exps, second_exponents=[e]
+            ).localCheckpoint()
+            exps = sorted({r[0] for r in tree.select("e").distinct().collect()})
+
+    def covers(spec, px, py):
+        ox, oy, w, h, e, _ = spec
+        side = 2.0 ** e
+        return (ox * side <= px < (ox + w) * side) and (oy * side <= py < (oy + h) * side)
+
+    def oracle(px, py):
+        order = specs if dom == Dominance.SecondDominates else list(reversed(specs))
+        # SecondDominates: later patch beats the accumulated tree -> last
+        # covering patch wins; FirstDominates: accumulated beats -> first
+        hit = None
+        for s_ in order:
+            if covers(s_, px, py):
+                hit = s_[5]
+        return hit
+
+    pts = [(rng.uniform(-8, 8), rng.uniform(-8, 8)) for _ in range(40)]
+    pos = spark.createDataFrame(
+        [(i, float(px), float(py)) for i, (px, py) in enumerate(pts)],
+        "pid int, px double, py double",
+    )
+    got = {r["pid"]: r["height"] for r in sample_positions(tree, pos).collect()}
+    for i, (px, py) in enumerate(pts):
+        want = oracle(px, py)
+        assert got.get(i) == want, (dom, i, (px, py), got.get(i), want)
+
+
+def test_deep_fragment_refinement_conserves_area(spark):
+    """Adversarial exponent gap: one coarse cell (e=6) vs a single fine cell
+    (e=-2) eight levels down. The dominated coarse cell refines through all
+    8 levels; the result must tile the coarse square exactly — total area
+    conserved, no overlaps, fine value visible only in its own cell."""
+    coarse = grid(spark, 0, 0, 1, 1, e=6, pattern="const", value=1.0)   # [0,64)^2
+    fine = grid(spark, 5, 9, 1, 1, e=-2, pattern="const", value=2.0, patch_id=1)
+    m = merge_samples(coarse, fine, Dominance.MoreDetailedOrSecond,
+                      first_exponents=[6], second_exponents=[-2])
+    rows = [(r.cx, r.cy, r.e, r.height) for r in m.collect()]
+    # 3 sibling fragments at each of the 8 levels + the fine cell itself
+    assert len(rows) == 3 * 8 + 1
+    area = sum(4.0 ** e for _, _, e, _ in rows)
+    assert area == 4.0 ** 6
+    vals = {h for _, _, _, h in rows}
+    assert vals == {1.0, 2.0}
+    assert sum(1 for *_, h in rows if h == 2.0) == 1
+    # probe: the fine point reads 2.0, a sibling fragment point reads 1.0
+    assert _probe(spark, m, 5 * 0.25 + 0.1, 9 * 0.25 + 0.1) == 2.0
+    assert _probe(spark, m, 40.0, 40.0) == 1.0
