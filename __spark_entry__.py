@@ -327,6 +327,15 @@ def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer '03: rolling k-gram hash,
+    window-min, distinct) — exploded to (doc_id, fp) rows for the oracle."""
+    from aardvark_geometry_quadtree_spark.operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
 def q_exact_dups(spark, sf_dir):
     """Exact dedup over the corpus plus a deterministic re-crawl copy
     (ids shifted by 10^6) — every text becomes a duplicate group."""
@@ -490,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "winnow": q_winnow,
         "exact_dups": q_exact_dups,
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
@@ -707,6 +717,30 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "winnow": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents),
+            ex AS (
+                SELECT doc_id, t, len(t) - 4 AS ngrams,
+                       unnest(generate_series(1, len(t) - 4)) AS pos
+                FROM d WHERE len(t) >= 5),
+            g AS (
+                SELECT doc_id, pos, ngrams,
+                       ('0x' || substr(md5(substring(t, pos, 5)), 1, 12))::BIGINT AS h
+                FROM ex),
+            m AS (
+                SELECT doc_id, pos, ngrams,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM g),
+            u AS (
+                SELECT doc_id, fp FROM m WHERE pos <= ngrams - 3
+                UNION ALL
+                SELECT doc_id, min(h) AS fp FROM g WHERE ngrams < 4 GROUP BY doc_id)
+            SELECT DISTINCT doc_id, fp FROM u
         """,
         "exact_dups": """
             WITH u AS (SELECT doc_id, text FROM documents

@@ -83,6 +83,61 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.encode(norm, "utf-8"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03): rolling
+    character k-gram hashes, minimum per sliding window of ``w`` hashes,
+    distinct + sorted per document. The standard LOCAL document
+    fingerprint: any shared substring of length >= k + w - 1 between two
+    documents is guaranteed to yield a shared fingerprint.
+
+    Scale formulation: gram positions explode to rows (one md5 per gram,
+    computed once), the window minimum is a SQL window frame (rows between
+    current and w-1 following), and the distinct-set aggregation has
+    map-side combine. An array-HOF formulation would re-evaluate the whole
+    hash array per window element (Catalyst lambda subexpressions are not
+    CSE'd) — O(len^2) per document; this one is O(len * w) across the
+    cluster. Returns (id_col, fingerprints array<long>).
+    """
+    from pyspark.sql.window import Window as W
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = df.select(F.col(id_col), norm.alias("_t")).filter(F.length("_t") >= k)
+    ex = d.select(
+        id_col,
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_pos"),
+        (F.length("_t") - (k - 1)).alias("_ngrams"),
+    )
+    gram = F.expr(f"substring(_t, _pos, {k})")
+    h = F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long")
+    g = ex.select(id_col, "_pos", "_ngrams", h.alias("_h"))
+    frame = W.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    mins = (
+        g.withColumn("_fp", F.min("_h").over(frame))
+        # winnowing defines a window per FULL w-span only
+        .filter(F.col("_pos") <= F.col("_ngrams") - (w - 1))
+    )
+    # short docs (k <= len < k+w-1): a single window over all grams
+    short = (
+        g.filter(F.col("_ngrams") < w)
+        .groupBy(id_col)
+        .agg(F.min("_h").alias("_fp"))
+        .select(id_col, "_fp")
+    )
+    return (
+        mins.select(id_col, "_fp")
+        .unionByName(short)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_fp")).alias("fingerprints"))
+    )
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (

@@ -143,3 +143,21 @@ def test_every_registered_semantic_downsamples(spark):
         assert got is not None, name
         if isinstance(got, list):
             assert all(v is not None for v in got), (name, got)
+
+
+def test_bilinear_eval_contract(spark):
+    """F4: s(x,y) = A + Bx + Cy + Dxy (README.md:113 contract) evaluated as
+    a Column expression over bilinear-params layers."""
+    from pyspark.sql import functions as F
+
+    from aardvark_geometry_quadtree_spark.registry import bilinear_eval
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0, 0.5, 0.25)],
+        "a double, b double, c double, d double, x double, y double",
+    )
+    got = df.select(
+        bilinear_eval(F.col("a"), F.col("b"), F.col("c"), F.col("d"),
+                      F.col("x"), F.col("y")).alias("s")
+    ).collect()[0]["s"]
+    assert got == pytest.approx(1.0 + 2.0 * 0.5 + 3.0 * 0.25 + 4.0 * 0.5 * 0.25)

@@ -193,3 +193,42 @@ def test_ann_bucketed_index_matches_ring_probe(spark, tmp_path):
     df = ann_topk_bucketed(spark, path, q, k=5, n_planes=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_winnow_fingerprints_guarantee_and_golden(spark):
+    """Winnowing: (a) deterministic golden vs a literal Python recompute,
+    (b) the k+w-1 guarantee — docs sharing a long substring share at least
+    one fingerprint; unrelated docs (here) share none."""
+    import hashlib
+
+    from aardvark_geometry_quadtree_spark.operators.textstats import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "the winnowing guarantee holds for shared spans"
+    rows = [
+        (0, f"prefix alpha {shared} suffix one"),
+        (1, f"other beginning {shared} different tail"),
+        (2, "completely unrelated content with zero overlap at all"),
+        (3, "tiny"),      # shorter than k -> no fingerprints (absent)
+        (4, "sixchr"),    # k <= len < k+w-1 -> single-window fingerprint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fingerprints"]) for r in winnow_fingerprints(df, k=k, w=w).collect()}
+
+    def py_winnow(text):
+        t = " ".join(text.lower().strip().split())
+        if len(t) < k:
+            return []
+        hs = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:12], 16) for i in range(len(t) - k + 1)]
+        if len(hs) < w:
+            return sorted({min(hs)})
+        return sorted({min(hs[i:i + w]) for i in range(len(hs) - w + 1)})
+
+    for i, text in rows:
+        if i == 3:
+            assert i not in got
+        else:
+            assert got[i] == py_winnow(text), i
+    assert set(got[0]) & set(got[1])        # shared span -> shared fingerprint
+    assert not (set(got[0]) & set(got[2]))  # unrelated -> disjoint (here)
+    assert len(got[4]) == 1
