@@ -279,3 +279,38 @@ def test_deep_fragment_refinement_conserves_area(spark):
     # probe: the fine point reads 2.0, a sibling fragment point reads 1.0
     assert _probe(spark, m, 5 * 0.25 + 0.1, 9 * 0.25 + 0.1) == 2.0
     assert _probe(spark, m, 40.0, 40.0) == 1.0
+
+
+def _world_ebb(df):
+    from pyspark.sql import functions as F
+
+    r = df.select(
+        F.min(F.col("cx") * F.pow(F.lit(2.0), F.col("e"))).alias("x0"),
+        F.min(F.col("cy") * F.pow(F.lit(2.0), F.col("e"))).alias("y0"),
+        F.max((F.col("cx") + 1) * F.pow(F.lit(2.0), F.col("e"))).alias("x1"),
+        F.max((F.col("cy") + 1) * F.pow(F.lit(2.0), F.col("e"))).alias("y1"),
+    ).collect()[0]
+    return (r.x0, r.y0, r.x1, r.y1)
+
+
+@pytest.mark.parametrize("dom", [Dominance.FirstDominates, Dominance.SecondDominates])
+def test_merged_exact_bounding_boxes(spark, dom):
+    """StructureTests.fs:100-226 'boundingbox: merged' matrix: the merged
+    tree's ExactBoundingBox is the union of the surviving samples' boxes —
+    identical under both dominances for every constellation."""
+    cases = [
+        # (a=(ox,oy,w,h,e), b=(...), expected (x0,y0,x1,y1))
+        ((1, 2, 7, 14, 0), (3, 8, 3, 2, 0), (1.0, 2.0, 8.0, 16.0)),       # e0/e0 contained
+        ((0, 0, 7, 14, 0), (3, 8, 3, 2, -2), (0.0, 0.0, 7.0, 14.0)),      # e0/e-2 contained
+        ((1, 2, 7, 14, 0), (5, 1, 5, 3, 0), (1.0, 1.0, 10.0, 16.0)),      # e0/e0 partial
+        ((1, 2, 7, 14, 0), (5, 2, 5, 3, -2), (1.0, 0.5, 8.0, 16.0)),      # e0/e-2 partial
+        ((1, 2, 7, 14, 0), (8, 4, 5, 3, 0), (1.0, 2.0, 13.0, 16.0)),      # e0/e0 adjacent
+        ((0, 0, 1, 1, 0), (4, 0, 4, 4, -2), (0.0, 0.0, 2.0, 1.0)),        # e0/e-2 adjacent
+        ((7, 11, 1, 1, 0), (3, 5, 1, 1, 0), (3.0, 5.0, 8.0, 12.0)),       # e0/e0 islands
+        ((7, 11, 1, 1, 0), (3, 5, 1, 1, -2), (0.75, 1.25, 8.0, 12.0)),    # e0/e-2 islands
+    ]
+    for (aox, aoy, aw, ah, ae), (box, boy, bw, bh, be), want in cases:
+        a = grid(spark, aox, aoy, aw, ah, e=ae, pattern="const", value=1.0)
+        b = grid(spark, box, boy, bw, bh, e=be, pattern="const", value=2.0, patch_id=1)
+        m = merge_samples(a, b, dom, first_exponents=[ae], second_exponents=[be])
+        assert _world_ebb(m) == want, ((aox, aoy, aw, ah, ae), (box, boy, bw, bh, be), dom)
