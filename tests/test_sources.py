@@ -150,3 +150,24 @@ def test_store_bindings(spark, tmp_path):
         got = store.try_get(spark, "tree-a")
         assert {(r.cx, r.height) for r in got.collect()} == {(0, 1.5), (1, 2.5)}
         assert store.keys() == ["tree-a"]
+
+
+def test_upgrade_semantic_on_load_workflow(spark, tmp_path):
+    """SerializationTests 'Workflow. upgrade old semantic on load from
+    store': save under an old semantic, load, UpdateLayerSemantic to the
+    new name, query — values unchanged under the new name."""
+    from aardvark_geometry_quadtree_spark.operators.layers import update_layer_semantic
+    from aardvark_geometry_quadtree_spark.operators.query import inside_box
+    from aardvark_geometry_quadtree_spark.sources.store import load_samples, save_samples
+
+    df = spark.createDataFrame(
+        [(x, y, 0, float(x * 10 + y)) for x in range(4) for y in range(4)],
+        "cx long, cy long, e int, Heights1f double",
+    )
+    path = str(tmp_path / "oldsem")
+    save_samples(df, path)
+    loaded = load_samples(spark, path)
+    upgraded = update_layer_semantic(loaded, "Heights1f", "Heights1d")
+    assert "Heights1d" in upgraded.columns and "Heights1f" not in upgraded.columns
+    got = {(r.cx, r.cy): r.Heights1d for r in inside_box(upgraded, 0, 0, 2, 2).collect()}
+    assert got == {(0, 0): 0.0, (1, 0): 10.0, (0, 1): 1.0, (1, 1): 11.0}
