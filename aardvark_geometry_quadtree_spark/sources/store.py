@@ -12,6 +12,14 @@ exists (_SUCCESS marker) — a job killed mid-pipeline resumes from the last
 completed stage. Each stage stamps per-partition lineage
 (stage name, input partition id, row count) queryable via
 :func:`lineage_metrics`.
+
+Iceberg note (north rule names Iceberg tables; no Iceberg runtime ships in
+this container): the layout here is the plain-filesystem isomorph —
+partitioned parquet + a JSON manifest standing in for table metadata, and
+immutable per-stage directories standing in for snapshots. Swapping in a
+real catalog is mechanical: ``df.writeTo(table).partitionedBy(...)`` replaces
+``write.partitionBy(...).parquet(path)`` and snapshot ids replace _SUCCESS
+markers; no operator logic changes.
 """
 
 from __future__ import annotations
