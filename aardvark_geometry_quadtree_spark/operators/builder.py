@@ -27,13 +27,18 @@ class Builder:
     def __init__(self, layers: list[str] | None = None):
         self._patches: list[DataFrame] = []
         self._layers = layers
+        self._exponents: list[int | None] = []
 
-    def add(self, patch: DataFrame) -> "Builder":
+    def add(self, patch: DataFrame, exponent: int | None = None) -> "Builder":
         """Builder.Add: register one patch ``(cx, cy, e, <layers...>)``;
-        a patch_id reflecting insertion order is stamped if missing."""
+        a patch_id reflecting insertion order is stamped if missing.
+        ``exponent``: the patch's (single) sample exponent if the caller
+        knows it — with every patch hinted, ``build`` runs zero metadata
+        discovery jobs (ingest jobs always know their own resolution)."""
         if "patch_id" not in patch.columns:
             patch = patch.withColumn("patch_id", F.lit(len(self._patches)))
         self._patches.append(patch)
+        self._exponents.append(exponent)
         return self
 
     def _union(self) -> DataFrame:
@@ -61,8 +66,14 @@ class Builder:
             raise ValueError("no patches added")
         layers = self._resolve_layers()
         u = self._union()
-        exps = sorted((r[0] for r in u.select("e").distinct().collect()), reverse=True)
+        if len(self._exponents) == len(self._patches) and all(
+            e is not None for e in self._exponents
+        ):
+            exps = sorted(set(self._exponents), reverse=True)  # no discovery job
+        else:
+            exps = sorted((r[0] for r in u.select("e").distinct().collect()), reverse=True)
         result: DataFrame | None = None
+        seen: list[int] = []
         for e in exps:
             level = merge_layers(u.filter(F.col("e") == e), layers).withColumn(
                 "e", F.lit(e).cast(dict(u.dtypes)["e"])
@@ -70,7 +81,18 @@ class Builder:
             if result is None:
                 result = level
             else:
-                result = merge_samples(result, level, Dominance.SecondDominates, layers=layers)
+                # fragments can live at any exponent in (e, max(seen)); the
+                # conservative contiguous superset keeps the hint exact-free
+                # (empty ancestor branches prune to nothing)
+                result = merge_samples(
+                    result,
+                    level,
+                    Dominance.SecondDominates,
+                    layers=layers,
+                    first_exponents=list(range(min(seen + [e]), max(seen) + 1)),
+                    second_exponents=[e],
+                )
+            seen.append(e)
         return result
 
     def build_flattened(self, target_e: int | None = None) -> DataFrame:
@@ -95,4 +117,5 @@ class Builder:
         b = cls(layers=layers)
         for pid in sorted(r[0] for r in df.select("patch_id").distinct().collect()):
             b._patches.append(df.filter(F.col("patch_id") == pid))
+            b._exponents.append(None)  # resolution unknown after reload
         return b

@@ -57,3 +57,22 @@ def test_builder_save_load_roundtrip(spark, punz_builder, tmp_path):
     a = {(r["cx"], r["cy"], r["e"]): r["height"] for r in punz_builder.build().collect()}
     b = {(r["cx"], r["cy"], r["e"]): r["height"] for r in again.build().collect()}
     assert a == b
+
+
+def test_builder_with_exponent_hints_matches_unhinted(spark):
+    """add(patch, exponent=...) on every patch skips the discovery job and
+    must produce the identical tree."""
+    from aardvark_geometry_quadtree_spark.sources.grids import grid
+
+    def mk(hinted):
+        b = Builder(layers=["height"])
+        p0 = grid(spark, 0, 0, 2, 2, e=1, pattern="const", value=5.0, patch_id=0)
+        p1 = grid(spark, 0, 0, 2, 2, e=0, pattern="const", value=7.0, patch_id=1)
+        p2 = grid(spark, 1, 1, 2, 2, e=-1, pattern="const", value=9.0, patch_id=2)
+        if hinted:
+            b.add(p0, exponent=1).add(p1, exponent=0).add(p2, exponent=-1)
+        else:
+            b.add(p0).add(p1).add(p2)
+        return {(r.cx, r.cy, r.e): r.height for r in b.build().collect()}
+
+    assert mk(True) == mk(False)
