@@ -212,9 +212,11 @@ def q_tile_payload(spark, sf_dir):
 
 
 def q_inside_box(spark, sf_dir):
-    """J6: InsideBox range predicate on sample centers."""
+    """J6: InsideBox via the per-exponent integer-bounds rewrite (the
+    scan-pushable form; over a saved store these bounds land in parquet
+    PushedFilters — BENCH/PLANS.md)."""
     s = _doc_samples(spark, sf_dir)
-    return _r6(Q.inside_box(s, -50.0, -80.0, 120.0, 60.0), "height")
+    return _r6(Q.inside_box_pushdown(s, -50.0, -80.0, 120.0, 60.0, exponents=[0]), "height")
 
 
 def q_inside_cell(spark, sf_dir):

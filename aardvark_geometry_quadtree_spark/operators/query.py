@@ -422,7 +422,10 @@ def near_line(
 # ---------------------------------------------------------------------------
 
 def sample_positions(
-    samples: DataFrame, positions: DataFrame, exponents: list[int] | None = None
+    samples: DataFrame,
+    positions: DataFrame,
+    exponents: list[int] | None = None,
+    broadcast_positions: bool = True,
 ) -> DataFrame:
     """For each position (px, py), the sample cell containing it.
 
@@ -432,8 +435,11 @@ def sample_positions(
     (Query.fs:689-739); with merges resolved at build time, that reduces to
     "finest exponent wins" per position, a ranking window.
 
-    positions: DataFrame (pid, px, py) — broadcast (query point sets are small
-    relative to samples; for huge point sets drop the hint and let AQE pick).
+    positions: DataFrame (pid, px, py). ``broadcast_positions=True`` (the
+    default) hints the candidate side broadcast — right when the point set
+    is small relative to samples. For HUGE point sets (joining a billion
+    probes against the tiles table) pass False: the join becomes a plain
+    shuffled equi-join on the cell key and AQE picks the strategy.
     Returns (pid, px, py, cx, cy, e, <layers...>).
     ``exponents``: caller-known exponent set — skips the discovery scan.
     """
@@ -453,7 +459,9 @@ def sample_positions(
             F.lit(e).cast("int").alias("e"),
         )
         cand = c if cand is None else cand.unionByName(c)
-    hit = samples.join(F.broadcast(cand), ["cx", "cy", "e"], "inner")
+    if broadcast_positions:
+        cand = F.broadcast(cand)
+    hit = samples.join(cand, ["cx", "cy", "e"], "inner")
     w = W.partitionBy("pid").orderBy(F.col("e").asc())
     return hit.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
