@@ -62,6 +62,37 @@ def build_tiles(
     )
 
 
+_INT_BUFFER_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean"}
+_FLOAT_BUFFER_TYPES = {"float", "double"}
+
+
+def packable_layer_types(df: DataFrame, layers: list[str]) -> dict[str, str]:
+    """Spark type per layer, validated against what the packed buffer format
+    can represent losslessly. The reference serializes TYPED per-semantic
+    buffers (Defs.fs / Serialization.fs:318-335); the Spark isomorph keeps
+    two buffer families — ``array<long>`` for the integer family (tinyint/
+    smallint/int/bigint/boolean) and ``array<double>`` for float/double —
+    and records the exact source type so load casts back. Array-typed
+    semantics (Normals3d, Colors*, bilinear params) are stored as their
+    component scalar columns (the registry's decomposition), so a raw
+    array/struct layer here is a usage error, not a silent double round-trip.
+    """
+    dt = dict(df.dtypes)
+    out: dict[str, str] = {}
+    for name in layers:
+        t = dt.get(name)
+        if t is None:
+            raise ValueError(f"pack_tiles: layer '{name}' not in frame")
+        if t not in _INT_BUFFER_TYPES and t not in _FLOAT_BUFFER_TYPES:
+            raise ValueError(
+                f"pack_tiles: layer '{name}' has unsupported type '{t}' — packed "
+                "buffers hold scalar numeric/boolean layers; store array-valued "
+                "semantics as their component columns (registry decomposition)"
+            )
+        out[name] = t
+    return out
+
+
 def pack_tiles(
     samples: DataFrame,
     split: int = DEFAULT_SPLIT,
@@ -72,13 +103,21 @@ def pack_tiles(
     The analogue of the reference's leaf ``QNode`` + ``DataMapping``
     (Node.fs:26-116, DataMapping.fs:24-145): per layer a flat array of
     ``win_sx * win_sy`` values over the tile's exact data window (tight
-    window, not the full 2^split square), NaN/null for holes, plus an
+    window, not the full 2^split square), null/NaN for holes, plus an
     occupancy mask AND a per-layer defined-mask (the reference's per-layer
     ``Mask1b``, Layer.fs:120-146/Defs.fs:115: a cell can exist while one
     layer's value is undefined there). Arrow-batched ``applyInPandas``
     kernel — vectorized numpy scatter, no per-row Python.
+
+    Buffers are TYPED per layer family: integer-family layers (tinyint/
+    smallint/int/bigint/boolean) pack as ``array<long>``, float-family as
+    ``array<double>`` — no silent int->double round-trip (bigint values are
+    exact; the Arrow/pandas boundary constrains nullable bigint columns to
+    |v| < 2^53, noted in the store manifest contract). Unsupported layer
+    types fail loudly (see :func:`packable_layer_types`).
     """
     layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    types = packable_layer_types(samples, layers)
     keyed = with_tile_key(samples, split)
 
     out_fields = [
@@ -87,10 +126,12 @@ def pack_tiles(
         "n_samples long",
     ]
     for name in layers:
-        out_fields.append(f"{name}_arr array<double>")
+        buf_t = "long" if types[name] in _INT_BUFFER_TYPES else "double"
+        out_fields.append(f"{name}_arr array<{buf_t}>")
         out_fields.append(f"{name}_mask array<boolean>")
     out_fields.append("mask array<boolean>")
     out_schema = ", ".join(out_fields)
+    int_layers = {n for n in layers if types[n] in _INT_BUFFER_TYPES}
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         cx = pdf["cx"].to_numpy(np.int64)
@@ -113,12 +154,20 @@ def pack_tiles(
             "n_samples": len(pdf),
         }
         for name in layers:
-            buf = np.full(sx * sy, np.nan)
-            vals = pdf[name].to_numpy(np.float64)
-            buf[idx] = vals
-            row[f"{name}_arr"] = [buf.tolist()]
             # per-layer Mask1b: defined = cell present AND value not a hole
-            row[f"{name}_mask"] = [(~np.isnan(buf)).tolist()]
+            defined = pdf[name].notna().to_numpy()
+            dmask = np.zeros(sx * sy, dtype=bool)
+            dmask[idx[defined]] = True
+            if name in int_layers:
+                buf = np.zeros(sx * sy, dtype=np.int64)
+                vals = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
+                buf[idx[defined]] = vals
+                # undefined slots stay 0 in the buffer; the mask is the truth
+            else:
+                buf = np.full(sx * sy, np.nan)
+                buf[idx[defined]] = pdf[name][defined].to_numpy(np.float64)
+            row[f"{name}_arr"] = [buf.tolist()]
+            row[f"{name}_mask"] = [dmask.tolist()]
         row["mask"] = [mask.tolist()]
         for k in ("tile_cx", "tile_cy", "tile_e", "e", "win_min_cx", "win_min_cy",
                   "win_sx", "win_sy", "n_samples"):
@@ -128,13 +177,18 @@ def pack_tiles(
     return keyed.groupBy("tile_cx", "tile_cy", "tile_e", "e").applyInPandas(_pack, out_schema)
 
 
-def unpack_tiles(tiles: DataFrame, layers: list[str]) -> DataFrame:
+def unpack_tiles(
+    tiles: DataFrame, layers: list[str], layer_types: dict[str, str] | None = None
+) -> DataFrame:
     """Inverse of :func:`pack_tiles`: packed tiles -> samples rows.
 
     Uses ``posexplode`` on the payload array (JVM-side) so the explosion
     never round-trips through Python. Per-layer masks restore the canonical
     NULL encoding for layer holes (a cell kept by the occupancy mask can
     still be undefined in an individual layer — Mask1b semantics).
+    ``layer_types``: exact source Spark type per layer (recorded by
+    ``save_packed``'s manifest) — each unpacked layer is cast back so the
+    round-trip preserves the schema, not just the values.
     """
     zipped = [F.col(f"{n}_arr") for n in layers]
     zipped += [F.col(f"{n}_mask") for n in layers]
@@ -149,9 +203,10 @@ def unpack_tiles(tiles: DataFrame, layers: list[str]) -> DataFrame:
         F.col("e"),
     ]
     for n in layers:
-        cols.append(
-            F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}_arr")).otherwise(F.lit(None)).alias(n)
-        )
+        col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}_arr")).otherwise(F.lit(None))
+        if layer_types and n in layer_types:
+            col = col.cast(layer_types[n])
+        cols.append(col.alias(n))
     return df.select(*cols)
 
 

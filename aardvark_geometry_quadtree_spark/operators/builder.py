@@ -25,9 +25,14 @@ class Builder:
     threaded here)."""
 
     def __init__(self, layers: list[str] | None = None):
+        # each entry may hold one or many patch_ids (Builder.load restores
+        # the whole staging table as ONE entry — a single pruned read, not
+        # one filtered scan per patch); per-entry exponent sets drive the
+        # zero-discovery build path
         self._patches: list[DataFrame] = []
         self._layers = layers
-        self._exponents: list[int | None] = []
+        self._exponents: list[set[int] | None] = []
+        self._next_id = 0
 
     def add(self, patch: DataFrame, exponent: int | None = None) -> "Builder":
         """Builder.Add: register one patch ``(cx, cy, e, <layers...>)``;
@@ -36,9 +41,10 @@ class Builder:
         knows it — with every patch hinted, ``build`` runs zero metadata
         discovery jobs (ingest jobs always know their own resolution)."""
         if "patch_id" not in patch.columns:
-            patch = patch.withColumn("patch_id", F.lit(len(self._patches)))
+            patch = patch.withColumn("patch_id", F.lit(self._next_id))
+        self._next_id += 1
         self._patches.append(patch)
-        self._exponents.append(exponent)
+        self._exponents.append({int(exponent)} if exponent is not None else None)
         return self
 
     def _union(self) -> DataFrame:
@@ -57,19 +63,45 @@ class Builder:
                     cols.append(c)
         return cols
 
-    def build(self) -> DataFrame:
+    def build(self, validate_hints: bool = True) -> DataFrame:
         """Builder.Build (Builder.fs:362-385): per-exponent first-writer
         paint, then fold resolution groups coarse -> fine with
         SecondDominates — finer data replaces coarser where it lands,
-        coarser survives elsewhere (fragments)."""
+        coarser survives elsewhere (fragments).
+
+        When every patch carried an exponent hint the level set comes from
+        the hints alone (zero discovery jobs). A wrong hint would silently
+        drop the rows at unhinted exponents, so by default the hint contract
+        is asserted IN the plan: the exponent column is wrapped in a
+        non-foldable ``assert_true`` that errors the first level job on any
+        out-of-set row — no extra validation job. The wrapper blocks parquet
+        predicate pushdown on ``e`` for parquet-backed patches, so a trusted
+        ingest pipeline may pass ``validate_hints=False`` to restore
+        row-group pruning per level."""
         if not self._patches:
             raise ValueError("no patches added")
         layers = self._resolve_layers()
         u = self._union()
-        if len(self._exponents) == len(self._patches) and all(
-            e is not None for e in self._exponents
-        ):
-            exps = sorted(set(self._exponents), reverse=True)  # no discovery job
+        if self._exponents and all(e is not None for e in self._exponents):
+            hinted: set[int] = set()
+            for s in self._exponents:
+                hinted |= s  # type: ignore[arg-type]
+            exps = sorted(hinted, reverse=True)  # no discovery job
+            if validate_hints:
+                ok = F.col("e").isin([int(x) for x in exps])
+                msg = F.concat(
+                    F.lit("Builder hint violation: row at unhinted exponent e="),
+                    F.col("e").cast("string"),
+                )
+                # otherwise-branch unreachable (assert_true is null or throws)
+                # but keeps branches distinct so the conditional survives
+                # optimization; every level's e-filter evaluates it per row
+                u = u.withColumn(
+                    "e",
+                    F.when(F.assert_true(ok, msg).isNull(), F.col("e")).otherwise(
+                        F.lit(None)
+                    ),
+                )
         else:
             exps = sorted((r[0] for r in u.select("e").distinct().collect()), reverse=True)
         result: DataFrame | None = None
@@ -107,15 +139,54 @@ class Builder:
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Persist the patch list (Builder.Save: PatchIds + per-patch blobs)."""
+        """Persist the patch list (Builder.Save: PatchIds + per-patch blobs).
+        A small JSON manifest records the per-entry exponent hints so a
+        reloaded builder keeps the zero-discovery build path."""
+        import json
+        import os
+
         self._union().write.mode("overwrite").partitionBy("patch_id").parquet(path)
+        manifest = {
+            "exponent_sets": [sorted(s) if s is not None else None for s in self._exponents],
+            "next_id": self._next_id,
+        }
+        with open(os.path.join(path, "_builder_manifest.json"), "w") as f:
+            json.dump(manifest, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, layers: list[str] | None = None) -> "Builder":
-        """Builder.Load: restore patches from the staging table."""
+        """Builder.Load: restore the staging table as ONE builder entry —
+        a single (partition-pruned) read instead of one filtered scan per
+        patch; patch ordering survives in the ``patch_id`` column, which is
+        all ``merge_layers``/``flatten_patches`` need. Exponent hints are
+        restored from the save-time manifest when complete."""
+        import json
+        import os
+
         df = spark.read.parquet(path)
         b = cls(layers=layers)
-        for pid in sorted(r[0] for r in df.select("patch_id").distinct().collect()):
-            b._patches.append(df.filter(F.col("patch_id") == pid))
-            b._exponents.append(None)  # resolution unknown after reload
+        exps: set[int] | None = None
+        next_id = None
+        mpath = os.path.join(path, "_builder_manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                man = json.load(f)
+            sets = man.get("exponent_sets", [])
+            if sets and all(s is not None for s in sets):
+                exps = {int(x) for s in sets for x in s}
+            next_id = man.get("next_id")
+        if next_id is None:
+            # fall back to partition-directory names (no Spark job), then to
+            # a distinct query only if the layout is not patch-partitioned
+            pids = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("patch_id=")
+            ]
+            if not pids:
+                pids = [r[0] for r in df.select("patch_id").distinct().collect()]
+            next_id = max(pids) + 1 if pids else 0
+        b._patches.append(df)
+        b._exponents.append(exps)
+        b._next_id = next_id
         return b

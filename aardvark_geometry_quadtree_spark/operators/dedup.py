@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import boundary as _bnd
+
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; short docs yield the whole
@@ -98,10 +100,12 @@ def lsh_candidate_pairs(
     )
     # one pass computes the signature, bands explode JVM-side; materialize the
     # tiny (id, band_key) frame once so the self-join doesn't recompute the
-    # shingle+md5 pipeline per side (at scale this is a persisted build stage)
-    keys = (
+    # shingle+md5 pipeline per side. Default cut is localCheckpoint (lineage
+    # truncated: executor loss aborts the job, it does not corrupt results);
+    # at scale install boundary.store_boundary so this is the persisted
+    # candidates stage the pipeline resumes from.
+    keys = _bnd.cut(
         mh.select(F.col(id_col).alias("id"), F.explode(band_arr).alias("band_key"))
-        .localCheckpoint()
     )
     a = keys.withColumnRenamed("id", "id_a")
     b_ = keys.withColumnRenamed("id", "id_b")
@@ -220,7 +224,9 @@ def simhash_dup_pairs(
     by exact match on any of the four 16-bit words (any pair within
     Hamming<=3 agrees on at least one word — pigeonhole banding; the 16-bit
     key space keeps candidate buckets sub-quadratic at corpus scale)."""
-    s = simhash64_table(df, id_col, text_col).withColumnRenamed(id_col, "id").localCheckpoint()
+    # same boundary contract as lsh_dup_pairs above: pluggable cut, durable
+    # staged table at cluster scale (see boundary.py)
+    s = _bnd.cut(simhash64_table(df, id_col, text_col).withColumnRenamed(id_col, "id"))
     parts = [
         s.select("id", "sh0", "sh1", "sh2", "sh3", F.col(f"sh{w}").alias("hkey"), F.lit(w).alias("hpart"))
         for w in range(4)

@@ -83,6 +83,14 @@ def html_debug_view(
         xs = [r["cx"] for r in grp]
         ys = [r["cy"] for r in grp]
         x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+        # the guard above bounds ROWS; the rendered grid is the bbox extent,
+        # so two far-apart samples could still drive a huge table — bound it
+        extent = (x1 - x0 + 1) * (y1 - y0 + 1)
+        if extent > max_cells * 100:
+            raise ValueError(
+                f"html_debug_view grid extent {extent} cells at e={e} exceeds "
+                f"{max_cells * 100}; this is a debug tool for compact windows"
+            )
         cell = {(r["cx"], r["cy"]): r for r in grp}
         parts.append(f"<h2>level e={e} ({len(grp)} samples)</h2>")
         parts.append('<table border="1" style="border-collapse:collapse">')

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import boundary as _bnd
 from ..functions import cells as C
 
 
@@ -77,24 +78,39 @@ def merge_samples(
     layers: list[str] | None = None,
     first_exponents: list[int] | None = None,
     second_exponents: list[int] | None = None,
+    validate_hints: bool = False,
+    boundary=None,
 ) -> DataFrame:
     """Eagerly resolved merge of two samples sets (binary, chainable).
 
-    Inputs are samples frames ``(cx, cy, e, <layers...>)`` (each internally
-    non-overlapping — a valid tree / prior merge result). Output is again a
-    non-overlapping samples frame with mixed exponents (fragments keep the
-    dominated side's coarse values).
+    Inputs are samples frames ``(cx, cy, e, <layers...>)``. Precondition:
+    each side is internally non-overlapping with ``(cx, cy, e)`` UNIQUE
+    within it (a valid tree / prior merge result); duplicate keys on one
+    side would collapse into one fragment judgment instead of being tracked
+    as distinct rows. Output is again a non-overlapping samples frame with
+    mixed exponents (fragments keep the dominated side's coarse values).
 
     ``first_exponents``/``second_exponents``: optional caller-known exponent
     sets. When both sides live at ONE common exponent the merge degenerates
     to a winner-per-cell hash aggregation — a single shuffle with map-side
     combine, no row ids, no materialization, no sort-merge join. When the
     sets differ, the hints still skip the metadata discovery scan (one job
-    saved per merge — the dominant fixed cost in chained builds).
+    saved per merge — the dominant fixed cost in chained builds). The hints
+    are TRUSTED by default (rows at unhinted exponents would be mis-merged);
+    ``validate_hints=True`` welds a zero-extra-job guard into the plan that
+    fails the merge loudly if any row's exponent falls outside its side's
+    hinted set (a filter branch carrying a non-foldable ``assert_true`` —
+    no separate validation job, just one more pushed predicate).
 
     Row identity is the natural key ``(cx, cy, e, src)`` — unique per side
-    by construction — so every join is deterministic under recomputation
-    (executor loss / stage retry safe; no monotonically_increasing_id).
+    per the precondition above — so every join is deterministic under
+    recomputation (stage retry safe; no monotonically_increasing_id).
+
+    ``boundary``: plan-cut hook between chained merges (see
+    :mod:`aardvark_geometry_quadtree_spark.boundary`); default is
+    ``localCheckpoint`` — fast but not durable — and cluster builds should
+    install the staged-table boundary (``store_boundary``) so executor loss
+    resumes from parquet instead of rerunning the chain.
     """
     dominance = Dominance(dominance)
     key = ("cx", "cy", "e")
@@ -116,8 +132,25 @@ def merge_samples(
             cols.append(col.alias(c))
         return df.select(*cols)
 
-    a = _norm(first)
-    b = _norm(second)
+    def _guard(df: DataFrame, exps, side: str) -> DataFrame:
+        # weld the hint assertion into the plan itself: evaluated per row in
+        # codegen, errors the merge job on the first unhinted exponent seen.
+        # The otherwise-branch is unreachable (assert_true is null or throws)
+        # but keeps the branches distinct so the optimizer can't fold the
+        # conditional away.
+        if not validate_hints or exps is None:
+            return df
+        ok = F.col("e").isin(sorted({int(x) for x in exps}))
+        msg = F.concat(
+            F.lit(f"merge_samples hint violation: {side} row at unhinted exponent e="),
+            F.col("e").cast("string"),
+        )
+        return df.withColumn(
+            "e", F.when(F.assert_true(ok, msg).isNull(), F.col("e")).otherwise(F.lit(None))
+        )
+
+    a = _guard(_norm(first), first_exponents, "first")
+    b = _guard(_norm(second), second_exponents, "second")
 
     if (
         first_exponents is not None
@@ -128,12 +161,14 @@ def merge_samples(
     u = a.withColumn("src", F.lit(1)).unionByName(
         b.withColumn("src", F.lit(2)), allowMissingColumns=True
     )
-    # truncate lineage: chained merges would otherwise stack join+kernel
-    # plans exponentially. Correctness no longer depends on this snapshot
-    # (identity is content-derived), so recomputation after executor loss is
-    # harmless; at cluster scale the equivalent boundary is the persisted
-    # tiles table per build stage.
-    u = u.localCheckpoint()
+    # plan-cut: chained merges would otherwise stack join+kernel plans
+    # exponentially. Default boundary is localCheckpoint — NOTE it truncates
+    # lineage, so a block lost with an executor cannot be recomputed and the
+    # job aborts back to the previous durable boundary (it cannot corrupt
+    # results: identity is the natural key, a rerun is deterministic).
+    # Cluster builds install boundary.store_boundary so the cut is a
+    # persisted, resumable staging table instead (see boundary.py).
+    u = _bnd.cut(u, boundary)
 
     if first_exponents is not None and second_exponents is not None:
         exps = {1: sorted(set(first_exponents)), 2: sorted(set(second_exponents))}

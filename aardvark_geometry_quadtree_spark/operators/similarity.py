@@ -189,11 +189,11 @@ def band_keys(vec: Column, planes: list[list[float]], bands: int) -> list[Column
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    bands: int = 1,
+    bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: candidates from banded sign-LSH
     equi-self-joins, verified by exact cosine >= threshold.
@@ -201,10 +201,12 @@ def embedding_dup_pairs(
     ``n_planes`` is the PER-BAND key width and ``bands`` the number of
     independent bands (total signature = bands * n_planes planes). Bands
     trade recall for candidate volume: a pair is a candidate if ANY band
-    key matches. At 10^9 vectors use n_planes=16, bands>=4: 65536 bucket
-    values per band keeps each equi-join bucket ~n/65536 (vs the former
-    single 8-bit key's O(n^2/256) blowup), and 4 bands recover the recall
-    the wider key costs.
+    key matches. The DEFAULTS are the corpus-scale setting (16-bit keys x
+    4 bands): 65536 bucket values per band keeps each equi-join bucket
+    ~n/65536 — sub-quadratic at 10^9 vectors (guard-tested) — and 4 bands
+    recover the recall the wider key costs. Small exploratory corpora may
+    prefer narrower keys (e.g. n_planes=6, bands=2) for recall at tiny n,
+    as the sf0.01 driver query does explicitly.
     """
     dim = embeddings.select(F.size(vec_col)).first()[0]
     planes = hyperplanes(dim, bands * n_planes, seed)

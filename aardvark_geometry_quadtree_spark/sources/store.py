@@ -89,16 +89,22 @@ def save_packed(
     instead of one parquet row (no per-row key overhead), while partition-by-
     exponent + tile-key min/max stats keep the same pruning.
     """
-    from ..operators.build import DEFAULT_SPLIT, pack_tiles
+    from ..operators.build import DEFAULT_SPLIT, pack_tiles, packable_layer_types
 
     split = DEFAULT_SPLIT if split is None else split
     layers = layers or [c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")]
+    # validates layer types up front (loud error on array/struct/string
+    # layers) and records the exact per-layer Spark type — the manifest
+    # analogue of the reference's typed per-semantic serialization
+    # (Defs.fs / Serialization.fs:318-335); load casts buffers back
+    layer_types = packable_layer_types(samples, layers)
     tiles = pack_tiles(samples, split, layers)
     tiles.write.mode(mode).partitionBy("e").parquet(path)
     manifest = {
         "format": "packed",
         "split": split,
         "layers": layers,
+        "layer_types": layer_types,
         "partition_cols": ["e"],
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
@@ -112,11 +118,14 @@ def load_packed_tiles(spark: SparkSession, path: str) -> DataFrame:
 
 def load_packed(spark: SparkSession, path: str) -> DataFrame:
     """Load a packed store back as a samples frame (unpack is a JVM-side
-    posexplode per tile row; layer holes come back as canonical NULL)."""
+    posexplode per tile row; layer holes come back as canonical NULL and
+    each layer is cast back to its manifest-recorded source type)."""
     from ..operators.build import unpack_tiles
 
     man = load_manifest(path)
-    return unpack_tiles(spark.read.parquet(path), man["layers"])
+    return unpack_tiles(
+        spark.read.parquet(path), man["layers"], man.get("layer_types")
+    )
 
 
 def enumerate_keys(spark: SparkSession, path: str) -> DataFrame:
@@ -185,6 +194,18 @@ class ParquetStore:
             w = w.partitionBy(*partition_cols)
         w.parquet(self._path(key))
 
+    def add_if_absent(
+        self, key: str, df: DataFrame, partition_cols: tuple[str, ...] = ()
+    ) -> bool:
+        """Key-granularity save-dedup (Serialization.fs:499-506 parity): a
+        blob whose key already exists is never rewritten — the incremental-
+        crawl write path, where re-exporting a tree touches only new keys.
+        Returns True iff this call wrote."""
+        if self.exists(key):
+            return False
+        self.add(key, df, partition_cols)
+        return True
+
     def try_get(self, spark: SparkSession, key: str) -> DataFrame | None:
         return spark.read.parquet(self._path(key)) if self.exists(key) else None
 
@@ -198,6 +219,24 @@ class ParquetStore:
             k for k in os.listdir(self.root)
             if os.path.exists(os.path.join(self.root, k, "_SUCCESS"))
         )
+
+
+def export_between_stores(
+    spark: SparkSession,
+    src: "ParquetStore",
+    dst: "ParquetStore",
+    keys: list[str] | None = None,
+) -> list[str]:
+    """Store-to-store export that SKIPS keys the destination already holds
+    (Quadtree.Export + the id-dedup of Serialization.fs:499-506): an
+    incremental crawl exported twice writes nothing the second time.
+    Returns the keys actually copied."""
+    copied = []
+    for k in keys if keys is not None else src.keys():
+        df = src.try_get(spark, k)
+        if df is not None and dst.add_if_absent(k, df):
+            copied.append(k)
+    return copied
 
 
 # ---------------------------------------------------------------------------

@@ -76,3 +76,40 @@ def test_builder_with_exponent_hints_matches_unhinted(spark):
         return {(r.cx, r.cy, r.e): r.height for r in b.build().collect()}
 
     assert mk(True) == mk(False)
+
+
+def test_builder_hint_guard_fails_loudly(spark):
+    from aardvark_geometry_quadtree_spark.sources.grids import grid_with_values
+
+    b = Builder()
+    b.add(grid_with_values(spark, 0, 0, 2, 1, [1.0, 2.0], e=0), exponent=0)
+    # wrong hint: rows live at e=1 but the hint says 0 -> without the guard
+    # these rows would silently vanish from the built tree
+    b.add(grid_with_values(spark, 0, 0, 1, 1, [9.0], e=1), exponent=0)
+    with pytest.raises(Exception, match="hint violation"):
+        b.build().collect()
+    # trusted-pipeline escape hatch keeps the old (silent) behavior
+    assert b.build(validate_hints=False).count() == 2
+
+
+def test_builder_load_restores_hints_single_read(spark, tmp_path):
+    from aardvark_geometry_quadtree_spark.sources.grids import grid_with_values
+
+    b = Builder()
+    # drop the fixture's patch_id so Builder.add stamps the sequence itself
+    b.add(grid_with_values(spark, 0, 0, 2, 2, [1.0, 2.0, 3.0, 4.0], e=1).drop("patch_id"), exponent=1)
+    b.add(grid_with_values(spark, 2, 0, 2, 2, [-1.0, -2.0, -3.0, -4.0], e=0).drop("patch_id"), exponent=0)
+    expect = {(r["cx"], r["cy"], r["e"]): r["height"] for r in b.build().collect()}
+    path = str(tmp_path / "staging")
+    b.save(path)
+
+    b2 = Builder.load(spark, path)
+    # manifest restored the hints: zero discovery jobs AND one frame entry
+    assert len(b2._patches) == 1
+    assert b2._exponents == [{0, 1}]
+    got = {(r["cx"], r["cy"], r["e"]): r["height"] for r in b2.build().collect()}
+    assert got == expect
+    # adding after load continues the patch-id sequence without collision
+    b2.add(grid_with_values(spark, 9, 9, 1, 1, [7.0], e=0).drop("patch_id"), exponent=0)
+    ids = sorted(r[0] for r in b2._union().select("patch_id").distinct().collect())
+    assert ids == [0, 1, 2]

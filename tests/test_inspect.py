@@ -46,3 +46,16 @@ def test_html_debug_view(spark, tmp_path):
     big = spark.range(20).selectExpr("id as cx", "0 as cy", "0 as e", "1.0 as height")
     with _pytest.raises(ValueError):
         html_debug_view(big, max_cells=10)
+
+
+def test_html_debug_view_bounds_grid_extent(spark):
+    import pytest
+    from aardvark_geometry_quadtree_spark.operators.inspect import html_debug_view
+
+    # two samples, astronomically far apart: row guard passes, extent guard
+    # must refuse to render a ~10^12-cell table
+    df = spark.createDataFrame(
+        [(0, 0, 0, 1.0), (1_000_000, 1_000_000, 0, 2.0)], "cx long, cy long, e int, height double"
+    )
+    with pytest.raises(ValueError, match="extent"):
+        html_debug_view(df)

@@ -223,3 +223,47 @@ def test_bucketed_merge_no_shuffle_and_parity(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm_a")
         spark.sql("DROP TABLE IF EXISTS bm_b")
+
+
+def test_validate_hints_fails_loudly(spark):
+    # wrong hints claim one common exponent -> fast path would mis-merge; the
+    # welded assert errors the job instead of silently collapsing resolutions
+    a = grid_with_values(spark, 0, 0, 2, 1, [1.0, 2.0], e=0)
+    b = grid_with_values(spark, 0, 0, 1, 1, [9.0], e=1)  # actually e=1, hinted 0
+    m = merge_samples(
+        a, b, Dominance.FirstDominates,
+        first_exponents=[0], second_exponents=[0], validate_hints=True,
+    )
+    with pytest.raises(Exception, match="hint violation"):
+        m.collect()
+    # correct hints with validation on: identical to the unhinted result
+    m_ok = merge_samples(
+        a, b, Dominance.FirstDominates,
+        first_exponents=[0], second_exponents=[1], validate_hints=True,
+    )
+    assert _as_map(m_ok) == _as_map(merge_samples(a, b, Dominance.FirstDominates))
+
+
+def test_chained_merge_through_store_boundary(spark, tmp_path, abc):
+    # the durable boundary (staged parquet, resumable) must be a drop-in for
+    # localCheckpoint in chained merges
+    from aardvark_geometry_quadtree_spark import boundary as bnd
+
+    a, b, c = abc
+    expect = _as_map(
+        merge_samples(merge_samples(a, b, Dominance.SecondDominates), c, Dominance.SecondDominates)
+    )
+    bnd.set_default_boundary(bnd.store_boundary(spark, str(tmp_path / "cuts")))
+    try:
+        m1 = merge_samples(a, b, Dominance.SecondDominates)
+        m2 = merge_samples(m1, c, Dominance.SecondDominates)
+        assert _as_map(m2) == expect
+    finally:
+        bnd.set_default_boundary(None)
+    # the cuts are real staged tables with _SUCCESS markers (resume points)
+    import os
+
+    stages = os.listdir(tmp_path / "cuts")
+    assert stages and all(
+        os.path.exists(tmp_path / "cuts" / s / "_SUCCESS") for s in stages
+    )

@@ -171,3 +171,64 @@ def test_upgrade_semantic_on_load_workflow(spark, tmp_path):
     assert "Heights1d" in upgraded.columns and "Heights1f" not in upgraded.columns
     got = {(r.cx, r.cy): r.Heights1d for r in inside_box(upgraded, 0, 0, 2, 2).collect()}
     assert got == {(0, 0): 0.0, (1, 0): 10.0, (0, 1): 1.0, (1, 1): 11.0}
+
+
+def test_packed_store_typed_layers_roundtrip(spark, tmp_path):
+    """Round-2 advice: int/long layers must round-trip with their exact type
+    (typed buffers + manifest types, Defs.fs typed-serialization parity),
+    and non-scalar layers must fail loudly, not crash the kernel."""
+    import pytest
+
+    from aardvark_geometry_quadtree_spark.sources.store import (
+        load_manifest, load_packed, save_packed)
+
+    rows = [
+        (x, y, 0, float(x + y), x * 1000 + y if (x + y) % 3 else None, (x + y) % 2 == 0)
+        for x in range(0, 6)
+        for y in range(0, 5)
+    ]
+    samples = spark.createDataFrame(
+        rows, "cx long, cy long, e int, height double, n bigint, flag boolean"
+    )
+    path = str(tmp_path / "typed")
+    save_packed(samples, path, split=2)
+    man = load_manifest(path)
+    assert man["layer_types"] == {"height": "double", "n": "bigint", "flag": "boolean"}
+    back = load_packed(spark, path)
+    assert dict(back.dtypes) == dict(samples.dtypes)
+    a = {tuple(r) for r in samples.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    # array layer -> loud error before any kernel runs
+    bad = samples.withColumn("vec", F.array(F.lit(1.0), F.lit(2.0)))
+    with pytest.raises(ValueError, match="unsupported type"):
+        save_packed(bad, str(tmp_path / "bad"), split=2)
+
+
+def test_add_if_absent_and_incremental_export(spark, tmp_path):
+    """Serialization.fs:499-506 parity: existing keys are never rewritten;
+    a second export of the same tree writes nothing."""
+    import os
+
+    from aardvark_geometry_quadtree_spark.sources.store import (
+        ParquetStore, export_between_stores)
+
+    df1 = spark.createDataFrame([(0, 0, 0, 1.0)], "cx long, cy long, e int, height double")
+    df2 = spark.createDataFrame([(9, 9, 0, 9.0)], "cx long, cy long, e int, height double")
+    src = ParquetStore(str(tmp_path / "src"))
+    src.add("k1", df1)
+    assert src.add_if_absent("k1", df2) is False  # not rewritten
+    assert {(r.cx,) for r in src.try_get(spark, "k1").collect()} == {(0,)}
+    assert src.add_if_absent("k2", df2) is True
+
+    dst = ParquetStore(str(tmp_path / "dst"))
+    assert export_between_stores(spark, src, dst) == ["k1", "k2"]
+    # capture write times; second export must be a no-op at key granularity
+    mtimes = {k: os.path.getmtime(os.path.join(dst.root, k, "_SUCCESS")) for k in dst.keys()}
+    assert export_between_stores(spark, src, dst) == []
+    assert mtimes == {
+        k: os.path.getmtime(os.path.join(dst.root, k, "_SUCCESS")) for k in dst.keys()
+    }
+    # and the store still sees exactly one copy per key
+    assert dst.try_get(spark, "k1").count() == 1

@@ -232,3 +232,13 @@ def test_winnow_fingerprints_guarantee_and_golden(spark):
     assert set(got[0]) & set(got[1])        # shared span -> shared fingerprint
     assert not (set(got[0]) & set(got[2]))  # unrelated -> disjoint (here)
     assert len(got[4]) == 1
+
+
+def test_embedding_dup_pairs_defaults_are_corpus_scale():
+    """Regression pin (round-2 verdict): defaults must be the 16-bit x 4-band
+    scale setting, not the O(n^2/256) toy key."""
+    import inspect
+
+    sig = inspect.signature(S.embedding_dup_pairs)
+    assert sig.parameters["n_planes"].default == 16
+    assert sig.parameters["bands"].default == 4
