@@ -24,11 +24,15 @@ mkdir -p /dev/shm/spark-local
 
 run() {
   local cores=$1
+  # fresh warehouse per leg: the staged bucketed block tables (crawl1_blk,
+  # crawl2_blk, merged_blk) live in tmpfs and must not leak between legs
+  rm -rf /dev/shm/spark-wh
   # 16g heap, NOT larger: at local[16] a 48g ParallelGC heap octupled JVM
   # CPU-time (GC scan work) — 12M-page leg went 135.8s -> 20.3s on switching
   # to 16g (jvm_cpu_sec 1236 -> 218 for the identical job)
   spark-submit --master "local[$cores]" --driver-memory 16g \
     --conf spark.local.dir=/dev/shm/spark-local \
+    --conf spark.sql.warehouse.dir=/dev/shm/spark-wh \
     --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC" \
     --py-files "$ZIP" \
     BENCH/scaling.py --cores "$cores" --pages "$PAGES" 2>/dev/null | tail -1

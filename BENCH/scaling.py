@@ -1,15 +1,27 @@
-"""Two-parallelism scaling measurement (BASELINE.json north rule).
+"""Two-parallelism scaling measurement (BASELINE.json north rule), round 3.
 
-Runs the core pipeline — synth web pages -> geocode -> cell encode ->
-dominance merge -> tile build -> LoD pyramid -> polygon query — at the
-parallelism given by --cores, printing one JSON line with wall-clock and
-rows/sec. The driver script (run_scaling.sh) launches this twice via
-spark-submit --py-files (local[8] vs local[32] — the sandbox proxy for N vs
-4N executors) and reports scaling efficiency.
+Round-2 finding (BENCH/scaling_results.json): the end-to-end pipeline topped
+out at 0.38 paired 4->16 efficiency, and the measured cause was the
+dominance-merge/cell-aggregation hash tables over 8-16M cell keys — their
+CPU-time itself inflated 1.45-1.8x at 16 threads (DRAM/LLC contention),
+while a pure-compute control held cpu-ratio 1.02 and ~92% of the host's
+sustained envelope. Round 3 removes the hash tables from the pipeline
+instead of excusing them:
 
-The workload is sized (default 4M pages) so task work dominates scheduling:
-that is the regime the 100 TB deployment lives in, and the regime the
-efficiency bar is meaningful for.
+- ingest: pages -> BLOCK raster directly (``pages_to_blocks``: one point
+  shuffle by block key + vectorized bincount histogram — no per-cell hash
+  table), staged as bucketed tables (the "crawls already in the lake" state
+  a 100 TB deployment starts from);
+- merge: crawl-over-crawl ``merge_blocks`` — co-partitioned bucketed join +
+  JVM zip_with over aligned arrays, ZERO Exchange (plan-asserted in
+  tests/test_blocks.py), sequential memory access;
+- pyramid: ``pyramid_blocks`` — block-local rollup, zero shuffle;
+- polygon: higher-order-function count over block arrays, zero shuffle.
+
+The driver launches this twice via spark-submit --py-files (e.g. local[4]
+vs local[16] — the sandbox proxy for N vs 4N executors) and reports paired
+throughput + scaling efficiency. Work is sized so task compute dominates
+scheduling — the regime the 100 TB deployment lives in.
 """
 
 from __future__ import annotations
@@ -50,6 +62,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--pages", type=int, default=4_000_000)
+    ap.add_argument("--bits", type=int, default=8, help="block = 2^bits x 2^bits cells")
+    ap.add_argument("--extent", type=float, default=4096.0)
+    ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args()
 
     probe_before = _cpu_probe(args.cores)
@@ -69,18 +84,19 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.local.dir", "/dev/shm/spark-local")
-        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from aardvark_geometry_quadtree_spark.operators.build import build_tiles
-    from aardvark_geometry_quadtree_spark.operators.merge import Dominance, merge_samples
-    from aardvark_geometry_quadtree_spark.operators.pyramid import build_pyramid
-    from aardvark_geometry_quadtree_spark.operators.query import inside_polygon
+    from aardvark_geometry_quadtree_spark.operators.blocks import (
+        merge_blocks,
+        polygon_count_blocks,
+        pyramid_blocks,
+        save_blocks_bucketed,
+    )
     from aardvark_geometry_quadtree_spark.sources.webpages import (
         geocode,
-        pages_to_samples,
+        pages_to_blocks,
         synth_webpages,
     )
 
@@ -104,42 +120,44 @@ def main() -> None:
     def mark(name: str, t_start: float) -> None:
         phases[name] = round(time.perf_counter() - t_start, 2)
 
-    t = time.perf_counter()
-    # two independent "crawls" (disjoint page-id ranges), each ingested and
-    # cell-aggregated on its own — no shared upstream, no artificial
-    # materialization barrier between them
-    half = args.pages // 2
-    crawl1 = synth_webpages(spark, half, nsites=5000, skew=1.2, seed=42)
-    crawl2 = synth_webpages(spark, half, nsites=5000, skew=1.2, seed=1042)
-    s1 = pages_to_samples(geocode(crawl1, extent=4096.0), e=0).drop("n_pages")
-    s2 = pages_to_samples(geocode(crawl2, extent=4096.0), e=0).drop("n_pages")
-    # merged with dominance (the engine's write path); exponent hints select
-    # the single-shuffle same-resolution plan
-    merged = merge_samples(
-        s1, s2, Dominance.MoreDetailedOrFirst, layers=["height"],
-        first_exponents=[0], second_exponents=[0],
+    occupied = F.aggregate(
+        "occ", F.lit(0).cast("long"),
+        lambda acc, o: acc + F.when(o, F.lit(1)).otherwise(F.lit(0)),
     )
-    merged = merged.localCheckpoint()  # persisted build output feeds 3 consumers
-    rows += merged.count()
+
+    # --- ingest: two independent crawls -> bucketed block staging tables ---
+    # (the lake state a deployment starts every merge from; one point-shuffle
+    # per crawl, bincount histogram kernels, NO per-cell hash aggregation)
+    t = time.perf_counter()
+    half = args.pages // 2
+    for i, seed in ((1, 42), (2, 1042)):
+        crawl = synth_webpages(spark, half, nsites=5000, skew=1.2, seed=seed)
+        blk = pages_to_blocks(geocode(crawl, extent=args.extent), e=0, bits=args.bits)
+        save_blocks_bucketed(blk.drop("n_pages", "n_pages_mask"),
+                             f"crawl{i}_blk", n_buckets=args.buckets)
+    mark("ingest", t)
+
+    # --- merge: crawl-over-crawl dominance merge, Exchange-free plan -------
+    t = time.perf_counter()
+    merged = merge_blocks(
+        spark.table("crawl1_blk"), spark.table("crawl2_blk"),
+        "more_detailed_or_first", layers=["height"],
+    )
+    save_blocks_bucketed(merged, "merged_blk", n_buckets=args.buckets)
+    merged_t = spark.table("merged_blk")
+    rows += merged_t.select(occupied.alias("n")).agg(F.sum("n")).collect()[0][0]
     mark("merge", t)
 
+    # --- pyramid: block-local LoD rollup, zero shuffle ---------------------
     t = time.perf_counter()
-    tiles = build_tiles(merged, split=8, layers=["height"])
-    rows += tiles.count()
-    mark("tiles", t)
-
-    t = time.perf_counter()
-    # per-level Catalyst pyramid: at this density (~14M cells, levels shrink
-    # a true 4x) the JVM hash-agg chain beats the Arrow round-trip of the
-    # blocked kernel; build_pyramid_blocked is for sparse/overhead-bound
-    # inputs (see bench.py)
-    pyr = build_pyramid(merged, levels=5, layers=["height"], include_base=False)
-    rows += pyr.count()
+    pyr = pyramid_blocks(merged_t, levels=5, layers=["height"])
+    rows += pyr.agg(F.sum("n_samples")).collect()[0][0]
     mark("pyramid", t)
 
+    # --- polygon: HOF count over block arrays, zero shuffle ----------------
     t = time.perf_counter()
     poly = [(100.0, 100.0), (3600.0, 400.0), (3000.0, 3500.0), (400.0, 3000.0)]
-    rows += inside_polygon(merged, poly).count()
+    rows += polygon_count_blocks(merged_t, poly).collect()[0]["n_inside"]
     mark("polygon", t)
 
     wall = time.perf_counter() - t0

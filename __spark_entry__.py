@@ -36,6 +36,13 @@ from aardvark_geometry_quadtree_spark.operators.dedup import (
     simhash64_table,
     word_shingles,
 )
+from aardvark_geometry_quadtree_spark.operators.blocks import (
+    inside_polygon_blocks,
+    merge_blocks,
+    pack_blocks,
+    pyramid_blocks,
+    unpack_blocks,
+)
 from aardvark_geometry_quadtree_spark.operators.merge import Dominance, merge_samples
 from aardvark_geometry_quadtree_spark.operators.multimodal import extract_features, synth_media
 from aardvark_geometry_quadtree_spark.operators.pyramid import build_pyramid, downsample_once
@@ -260,6 +267,19 @@ def q_knn(spark, sf_dir):
     return _r6(r.select("cx", "cy", "e", "height", "dist"), "height", "dist")
 
 
+def q_knn_batch(spark, sf_dir):
+    """J9+ batched: k nearest samples for EVERY probe via ring-keyed
+    equi-joins + per-probe top-k windows (set-oriented; driver loop only
+    over radii). Same tie-break as q_knn."""
+    s = _doc_samples(spark, sf_dir).drop("n_docs")
+    pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
+    r = Q.knn_join(s, pos, k=10, ring_exponent=4)
+    return _r6(
+        r.select("pid", "cx", "cy", F.col("e").cast("long").alias("e"), "height", "dist"),
+        "height", "dist",
+    )
+
+
 def q_merge_dominance(spark, sf_dir):
     """M1 same-resolution: FirstDominates winner per cell across two patches."""
     p1 = _doc_samples(spark, sf_dir, "src0")
@@ -289,6 +309,45 @@ def q_merge_mixed_res(spark, sf_dir):
         second_exponents=[0],  # hint skips the exponent discovery job
     )
     return _r6(m.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
+
+
+def q_merge_blocks(spark, sf_dir):
+    """M1 via the BLOCK-RASTER path (operators/blocks.py): aligned-array
+    zip_with winner kernel + co-partitionable join — the exchange-free scale
+    merge. Same semantics as q_merge_dominance through a disjoint execution
+    path, checked against the same oracle."""
+    p1 = _doc_samples(spark, sf_dir, "src0")
+    p2 = _doc_samples(spark, sf_dir, "src1")
+    m = merge_blocks(pack_blocks(p1, bits=4), pack_blocks(p2, bits=4), "first")
+    u = unpack_blocks(m, layer_types={"height": "double", "n_docs": "bigint"})
+    return _r6(
+        u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
+        "height",
+    )
+
+
+def q_pyramid_blocks(spark, sf_dir):
+    """A1 via the block-local pyramid (zero-shuffle mapInPandas rollup);
+    level-2 output equals the per-level Catalyst pyramid's, checked against
+    the same avg-of-avg oracle as q_pyramid_l2."""
+    s = _doc_samples(spark, sf_dir).drop("n_docs")
+    pyr = pyramid_blocks(pack_blocks(s, bits=4), levels=2)
+    u = unpack_blocks(pyr.filter(F.col("e") == 2), layers=["height"])
+    return _r6(
+        u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height"
+    )
+
+
+def q_polygon_blocks(spark, sf_dir):
+    """J7 via the block path: block-bbox prune (scan-prunable Catalyst
+    filter) + codegen winding test over unpacked cells; same oracle as
+    q_inside_polygon."""
+    s = _doc_samples(spark, sf_dir)
+    cells = inside_polygon_blocks(pack_blocks(s, bits=4), _POLY)
+    return _r6(
+        cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
+        "height",
+    )
 
 
 def q_lod_cut(spark, sf_dir):
@@ -493,7 +552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_line": q_near_line,
         "point_lookup": q_point_lookup,
         "knn": q_knn,
+        "knn_batch": q_knn_batch,
         "merge_dominance": q_merge_dominance,
+        "merge_blocks": q_merge_blocks,
+        "pyramid_blocks": q_pyramid_blocks,
+        "polygon_blocks": q_polygon_blocks,
         "merge_mixed_res": q_merge_mixed_res,
         "lod_cut": q_lod_cut,
         "ebb_stats": q_ebb_stats,
@@ -643,6 +706,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sqrt((cx + 0.5) * (cx + 0.5) + (cy + 0.5) * (cy + 0.5)), cx, cy
             LIMIT 10
         """,
+        "knn_batch": f"""
+            WITH s AS ({S}), p(pid, px, py) AS (VALUES {probes}),
+            scored AS (
+                SELECT p.pid, s.cx, s.cy, s.e, s.height,
+                       sqrt(power(s.cx + 0.5 - p.px, 2) + power(s.cy + 0.5 - p.py, 2)) AS dist,
+                       row_number() OVER (
+                           PARTITION BY p.pid
+                           ORDER BY sqrt(power(s.cx + 0.5 - p.px, 2) + power(s.cy + 0.5 - p.py, 2)), s.cx, s.cy
+                       ) AS rn
+                FROM p CROSS JOIN s)
+            SELECT pid, cx, cy, e, round(height, 6) AS height, round(dist, 6) AS dist
+            FROM scored WHERE rn <= 10
+        """,
         "merge_dominance": f"""
             WITH p1 AS ({S0}), p2 AS ({S1})
             SELECT coalesce(p1.cx, p2.cx) AS cx, coalesce(p1.cy, p2.cy) AS cy,
@@ -650,6 +726,26 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p1.height, p2.height), 6) AS height,
                    coalesce(p1.n_docs, p2.n_docs) AS n_docs
             FROM p1 FULL OUTER JOIN p2 ON p1.cx = p2.cx AND p1.cy = p2.cy AND p1.e = p2.e
+        """,
+        # block path must land on the exact same result as the sample path
+        "merge_blocks": f"""
+            WITH p1 AS ({S0}), p2 AS ({S1})
+            SELECT coalesce(p1.cx, p2.cx) AS cx, coalesce(p1.cy, p2.cy) AS cy,
+                   coalesce(p1.e, p2.e) AS e,
+                   round(coalesce(p1.height, p2.height), 6) AS height,
+                   coalesce(p1.n_docs, p2.n_docs) AS n_docs
+            FROM p1 FULL OUTER JOIN p2 ON p1.cx = p2.cx AND p1.cy = p2.cy AND p1.e = p2.e
+        """,
+        "pyramid_blocks": f"""
+            WITH l0 AS ({S}),
+            l1 AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
+                   FROM l0 GROUP BY 1, 2, 3)
+            SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(2 AS BIGINT) AS e, round(avg(height), 6) AS height
+            FROM l1 GROUP BY 1, 2, 3
+        """,
+        "polygon_blocks": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE {_half_planes_sql('cx + 0.5', 'cy + 0.5')}
         """,
         "merge_mixed_res": f"""
             WITH fine AS (SELECT cx, cy, e, height FROM ({S0})),

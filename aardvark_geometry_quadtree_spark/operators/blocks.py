@@ -1,0 +1,470 @@
+"""Block-raster engine: fixed-size aligned blocks for exchange-free merges
+and shuffle-free pyramids — the crawl-over-crawl merge path at 100 TB.
+
+Why this exists (round-2 scaling finding, BENCH/scaling_results.json): the
+same-exponent dominance merge expressed as a winner-per-cell hash
+aggregation over 8-16M individual cell keys inflates measured CPU-time
+1.45-1.8x when thread count quadruples — the per-cell hash table thrashes
+DRAM/LLC, and that contention is what broke the N->4N scaling target. The
+reference never aggregates per cell: it merges layer BUFFERS per node
+(Layer.fs:360-446), i.e. dense aligned arrays. This module is that design
+re-expressed in Spark:
+
+- cells pack into aligned ``2^bits x 2^bits`` blocks — ONE row per block
+  with row-major array payloads (:func:`pack_blocks`), the coarse-grained
+  sibling of :func:`..build.pack_tiles` (which keeps tight per-tile windows
+  for storage; blocks are full-size and aligned so two crawls' arrays line
+  up element-for-element);
+- the same-exponent dominance merge becomes a co-partitioned join plus
+  JVM-side ``zip_with`` over aligned arrays (:func:`merge_blocks`) — no
+  hash aggregation, sequential memory access, zero Exchange when both
+  sides are bucketed on the block key (:func:`save_blocks_bucketed`);
+- LoD pyramids up to ``log2(block width)`` levels are BLOCK-LOCAL — every
+  parent cell's children live in the same block row — so the whole pyramid
+  is one shuffle-free ``mapInPandas`` pass (:func:`pyramid_blocks`);
+- window/polygon queries evaluate per-cell predicates inside higher-order
+  functions over the arrays (:func:`inside_polygon_blocks`,
+  :func:`polygon_count_blocks`), with block-level bbox pruning pushed to
+  the parquet scan.
+
+Semantics parity: ``merge_blocks`` == the sample-level winner rule of
+``merge._merge_same_exponent`` (Query.fs:79-196 per-sample dominance at one
+exponent: the present side's row wins wholesale, a layer hole in the winner
+stays a hole); ``pyramid_blocks`` == ``pyramid.downsample_once`` per-type
+means (Sampling.fs:18-74). Both are asserted by differential tests
+(tests/test_blocks.py) and oracle-checked driver queries.
+
+Undefined encoding inside buffers: float-family layers use NaN (or a null
+element — both are read as holes, because the Arrow boundary may map NaN to
+null); integer-family layers carry a ``{name}_mask`` boolean array, exactly
+like the packed-tile format. ``occ`` marks cell PRESENCE (a present cell
+can still hold a layer hole — Mask1b, Layer.fs:120-146).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .build import _INT_BUFFER_TYPES, packable_layer_types
+
+_META_COLS = ("bx", "by", "e", "w", "n_samples", "occ")
+
+
+def _block_layers(blocks: DataFrame) -> tuple[list[str], set[str]]:
+    """Infer (layer names, integer-family subset) from a block frame's
+    schema: ``array<bigint>`` payloads are integer-family (they carry a
+    ``{name}_mask``), ``array<double>`` are float-family."""
+    dt = dict(blocks.dtypes)
+    layers = [
+        c for c in blocks.columns
+        if c not in _META_COLS and not c.endswith("_mask")
+    ]
+    int_layers = {c for c in layers if dt[c] == "array<bigint>"}
+    return layers, int_layers
+
+
+def pack_blocks(
+    samples: DataFrame,
+    bits: int,
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """Samples -> aligned blocks: one row per ``(cx >> bits, cy >> bits, e)``
+    with row-major ``2^bits x 2^bits`` array payloads.
+
+    In-block index ``i = (cy - by*w) * w + (cx - bx*w)`` (w = 2^bits), so
+    two independently packed crawls produce element-aligned arrays — the
+    precondition :func:`merge_blocks` exploits. One shuffle (the groupBy),
+    then a vectorized numpy scatter per block; no per-row Python.
+    """
+    layers = layers or [
+        c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")
+    ]
+    types = packable_layer_types(samples, layers)
+    int_layers = {n for n in layers if types[n] in _INT_BUFFER_TYPES}
+    w = 1 << bits
+
+    fields = ["bx long", "by long", "e int", "w int", "n_samples long",
+              "occ array<boolean>"]
+    for name in layers:
+        if name in int_layers:
+            fields.append(f"{name} array<long>")
+            fields.append(f"{name}_mask array<boolean>")
+        else:
+            fields.append(f"{name} array<double>")
+    out_schema = ", ".join(fields)
+
+    keyed = samples.select(
+        F.shiftright(F.col("cx"), bits).alias("bx"),
+        F.shiftright(F.col("cy"), bits).alias("by"),
+        F.col("e").cast("int").alias("e"),
+        "cx", "cy", *layers,
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bx = int(pdf["bx"].iloc[0])
+        by = int(pdf["by"].iloc[0])
+        cx = pdf["cx"].to_numpy(np.int64)
+        cy = pdf["cy"].to_numpy(np.int64)
+        idx = (cy - by * w) * w + (cx - bx * w)
+        occ = np.zeros(w * w, dtype=bool)
+        occ[idx] = True
+        row: dict = {
+            "bx": [bx], "by": [by], "e": [int(pdf["e"].iloc[0])],
+            "w": [w], "n_samples": [len(pdf)], "occ": [occ.tolist()],
+        }
+        for name in layers:
+            defined = pdf[name].notna().to_numpy()
+            if name in int_layers:
+                buf = np.zeros(w * w, dtype=np.int64)
+                buf[idx[defined]] = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
+                dmask = np.zeros(w * w, dtype=bool)
+                dmask[idx[defined]] = True
+                row[name] = [buf.tolist()]
+                row[f"{name}_mask"] = [dmask.tolist()]
+            else:
+                buf = np.full(w * w, np.nan)
+                buf[idx[defined]] = pdf[name][defined].to_numpy(np.float64)
+                row[name] = [buf.tolist()]
+        return pd.DataFrame(row)
+
+    return keyed.groupBy("bx", "by", "e").applyInPandas(_pack, out_schema)
+
+
+def unpack_blocks(
+    blocks: DataFrame,
+    layers: list[str] | None = None,
+    layer_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Blocks -> samples rows. JVM-side ``posexplode`` over zipped arrays —
+    no Python; holes come back as canonical NULL; ``layer_types`` casts
+    layers back to their exact source types (store-manifest contract)."""
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>"}
+    zipped = [F.col("occ")]
+    for n in layers:
+        zipped.append(F.col(n))
+        if n in int_layers:
+            zipped.append(F.col(f"{n}_mask"))
+    df = blocks.select(
+        "bx", "by", "e", "w",
+        F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
+    ).filter(F.col("z.occ"))
+    cols = [
+        (F.col("bx") * F.col("w") + F.pmod(F.col("pos"), F.col("w"))).cast("long").alias("cx"),
+        (F.col("by") * F.col("w") + (F.col("pos") / F.col("w")).cast("int")).cast("long").alias("cy"),
+        F.col("e"),
+    ]
+    for n in layers:
+        if n in int_layers:
+            col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}")).otherwise(F.lit(None))
+        else:
+            v = F.col(f"z.{n}")
+            col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+        if layer_types and n in layer_types:
+            col = col.cast(layer_types[n])
+        cols.append(col.alias(n))
+    return df.select(*cols)
+
+
+def merge_blocks(
+    first: DataFrame,
+    second: DataFrame,
+    dominance: "Dominance | str" = "first",
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """SAME-EXPONENT dominance merge over aligned blocks — zero Python,
+    zero hash aggregation.
+
+    Plan: FULL OUTER equi-join on the block key, then per-cell winner
+    selection as ``zip_with`` over the aligned arrays (whole-stage codegen;
+    sequential array access instead of an 8-16M-key hash table — the exact
+    fix for the round-2 scaling bottleneck). On bucketed inputs
+    (:func:`save_blocks_bucketed`) the join itself is Exchange-free.
+
+    Semantics == ``merge._merge_same_exponent`` (winner-per-cell at one
+    shared exponent, Query.fs:79-196): where both sides have the cell, the
+    dominance-named side's value wins WHOLESALE (its layer hole stays a
+    hole); one-sided cells pass through. MoreDetailed* ties on exponent and
+    reduces to the named side (Node.fs:12-23). Cross-exponent inputs are
+    out of scope here by contract (the join key includes ``e``, so rows at
+    different exponents pass through unresolved): mixed-resolution merges
+    go through ``merge.merge_samples``.
+    """
+    from .merge import Dominance
+
+    dominance = Dominance(dominance)
+    win_first = dominance in (Dominance.FirstDominates, Dominance.MoreDetailedOrFirst)
+    key = ["bx", "by", "e"]
+    if layers is None:
+        layers, _ = _block_layers(first)
+    int_layers = {n for n, t in first.dtypes if t == "array<bigint>" and n in layers}
+
+    def side_cols(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col(k) for k in key]
+        cols.append(F.col("w").alias(f"_w_{tag}"))
+        cols.append(F.col("occ").alias(f"_occ_{tag}"))
+        for n in layers:
+            cols.append(F.col(n).alias(f"_{tag}_{n}"))
+            if n in int_layers:
+                cols.append(F.col(f"{n}_mask").alias(f"_{tag}_{n}_mask"))
+        return df.select(*cols)
+
+    j = side_cols(first, "a").join(side_cols(second, "b"), key, "full_outer")
+    only_a = F.col("_occ_b").isNull()
+    only_b = F.col("_occ_a").isNull()
+    wtag = "a" if win_first else "b"  # the side whose presence wins a cell
+
+    def merged_arr(value_col_a: str, value_col_b: str) -> F.Column:
+        # winner-side occupancy decides per element; zip the winner's occ
+        # with its value array so zip_with's 2-array limit suffices
+        win_val, lose_val = (value_col_a, value_col_b) if win_first else (value_col_b, value_col_a)
+        z = F.arrays_zip(F.col(f"_occ_{wtag}").alias("o"), F.col(win_val).alias("v"))
+        return F.zip_with(
+            z, F.col(lose_val),
+            lambda x, y: F.when(x.getField("o"), x.getField("v")).otherwise(y),
+        )
+
+    out = [F.col(k) for k in key]
+    out.append(F.coalesce(F.col("_w_a"), F.col("_w_b")).alias("w"))
+    occ = (
+        F.when(only_a, F.col("_occ_a"))
+        .when(only_b, F.col("_occ_b"))
+        .otherwise(F.zip_with(F.col("_occ_a"), F.col("_occ_b"), lambda x, y: x | y))
+    )
+    out.append(occ.alias("occ"))
+    for n in layers:
+        a_n, b_n = f"_a_{n}", f"_b_{n}"
+        val = (
+            F.when(only_a, F.col(a_n))
+            .when(only_b, F.col(b_n))
+            .otherwise(merged_arr(a_n, b_n))
+        )
+        out.append(val.alias(n))
+        if n in int_layers:
+            am, bm = f"_a_{n}_mask", f"_b_{n}_mask"
+            m = (
+                F.when(only_a, F.col(am))
+                .when(only_b, F.col(bm))
+                .otherwise(merged_arr(am, bm))
+            )
+            out.append(m.alias(f"{n}_mask"))
+    return j.select(*out)
+
+
+def save_blocks_bucketed(
+    blocks: DataFrame, table_name: str, n_buckets: int = 64
+) -> None:
+    """Persist blocks BUCKETED on the block key: two crawls staged this way
+    merge with ZERO Exchange (the per-bucket files line up — the co-location
+    contract that amortizes one bucketing shuffle across every later merge,
+    exactly the repeated crawl-over-crawl pattern at 100 TB)."""
+    # bucket keys must EQUAL the merge join key (bx, by, e) for the planner
+    # to keep the bucketed scan (a subset partitioning is rejected here)
+    (
+        blocks.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "bx", "by", "e")
+        .sortBy("bx", "by", "e")
+        .saveAsTable(table_name)
+    )
+
+
+def pyramid_blocks(
+    blocks: DataFrame,
+    levels: int,
+    layers: list[str] | None = None,
+    include_base: bool = False,
+) -> DataFrame:
+    """LoD pyramid computed BLOCK-LOCALLY — zero shuffle.
+
+    Every parent cell's 2x2 children live inside the same block row (width
+    halves per level), so up to ``log2(w)`` levels need no data movement at
+    all: one ``mapInPandas`` pass emits each block's whole pyramid. Beyond
+    ``log2(w)`` levels the (tiny) remainder goes through the per-level
+    rollup of ``pyramid.build_pyramid`` — by then the data is 4^levels
+    smaller.
+
+    Per-type semantics match ``pyramid.downsample_once`` / Sampling.fs:18-74:
+    float layers = mean of DEFINED children; integer layers = truncating
+    (toward zero) division, mask = any child defined; occupancy = any child
+    present.
+    """
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in layers}
+    in_cols = ["bx", "by", "e", "w", "occ", *[
+        c for n in layers for c in ((n, f"{n}_mask") if n in int_layers else (n,))
+    ]]
+    fields = ["bx long", "by long", "e int", "w int", "n_samples long",
+              "occ array<boolean>"]
+    for n in layers:
+        if n in int_layers:
+            fields.append(f"{n} array<long>")
+            fields.append(f"{n}_mask array<boolean>")
+        else:
+            fields.append(f"{n} array<double>")
+    out_schema = ", ".join(fields)
+
+    def _pyr(iterator):
+        for pdf in iterator:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                w = int(row.w)
+                if (w >> levels) < 1:
+                    raise ValueError(
+                        f"pyramid_blocks: {levels} levels exceeds log2(w={w}); "
+                        "roll the remainder up with pyramid.build_pyramid"
+                    )
+                occ = np.asarray(row.occ, dtype=bool)
+                vals: dict[str, np.ndarray] = {}
+                defs: dict[str, np.ndarray] = {}
+                for n in layers:
+                    v = np.asarray(getattr(row, n), dtype=np.float64)
+                    if n in int_layers:
+                        d = np.asarray(getattr(row, f"{n}_mask"), dtype=bool)
+                    else:
+                        d = ~np.isnan(v)
+                        v = np.where(d, v, 0.0)
+                    vals[n], defs[n] = v, d
+                if include_base:
+                    out.append(_block_row(row.bx, row.by, int(row.e), w, occ,
+                                           vals, defs, layers, int_layers))
+                cw = w
+                for lvl in range(1, levels + 1):
+                    pw = cw // 2
+                    occ = occ.reshape(pw, 2, pw, 2).any(axis=(1, 3))
+                    for n in layers:
+                        s = vals[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
+                        c = defs[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
+                        d = c > 0
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            m = s / np.where(d, c, 1)
+                        if n in int_layers:
+                            m = np.fix(m)  # truncating division (F# int '/')
+                        vals[n] = np.where(d, m, 0.0)
+                        defs[n] = d
+                    occ = occ.reshape(-1)
+                    for n in layers:
+                        vals[n] = vals[n].reshape(-1)
+                        defs[n] = defs[n].reshape(-1)
+                    out.append(_block_row(row.bx, row.by, int(row.e) + lvl, pw,
+                                           occ, vals, defs, layers, int_layers))
+                    cw = pw
+            if out:
+                yield pd.DataFrame(out)
+            else:
+                yield pd.DataFrame({f.split(" ")[0]: [] for f in fields})
+
+    return blocks.select(*in_cols).mapInPandas(_pyr, out_schema)
+
+
+def _block_row(bx, by, e, w, occ, vals, defs, layers, int_layers) -> dict:
+    row = {
+        "bx": int(bx), "by": int(by), "e": int(e), "w": int(w),
+        "n_samples": int(occ.sum()), "occ": occ.tolist(),
+    }
+    for n in layers:
+        if n in int_layers:
+            row[n] = vals[n].astype(np.int64).tolist()
+            row[f"{n}_mask"] = defs[n].tolist()
+        else:
+            row[n] = np.where(defs[n], vals[n], np.nan).tolist()
+    return row
+
+
+# ---------------------------------------------------------------------------
+# queries over blocks (window / polygon), block-pruned + HOF per-cell tests
+# ---------------------------------------------------------------------------
+
+def _block_bounds(e_col, w_col):
+    """World-space [min, max) bounds of a block row (Columns)."""
+    side = F.pow(F.lit(2.0), e_col.cast("double")) * w_col.cast("double")
+    return side
+
+
+def _prune_blocks_bbox(blocks: DataFrame, bx0: float, by0: float, bx1: float, by1: float) -> DataFrame:
+    """Keep blocks whose world bbox intersects [bx0,bx1)x[by0,by1): a plain
+    Catalyst filter on (bx, by, e, w) — parquet min/max prunable."""
+    side = _block_bounds(F.col("e"), F.col("w"))
+    x0 = F.col("bx").cast("double") * side
+    y0 = F.col("by").cast("double") * side
+    return blocks.filter(
+        (x0 < F.lit(bx1)) & (x0 + side > F.lit(bx0))
+        & (y0 < F.lit(by1)) & (y0 + side > F.lit(by0))
+    )
+
+
+def inside_polygon_blocks(
+    blocks: DataFrame,
+    verts: list[tuple[float, float]],
+    rel: tuple[float, float] = (0.5, 0.5),
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """Cells of a block raster inside a polygon — the block-path equivalent
+    of ``query.inside_polygon`` (same winding predicate, same SampleMode
+    position), returned as unpacked sample rows for oracle parity.
+
+    Phase 1: block-bbox vs polygon-bbox prune (Catalyst filter, scan-
+    prunable). Phase 2: JVM posexplode + the unrolled winding expression —
+    per-cell test stays in whole-stage codegen, no Python."""
+    from .query import _normalize_polygon, _winding_expr
+
+    verts = _normalize_polygon(verts)
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    pruned = _prune_blocks_bbox(blocks, min(xs), min(ys), max(xs), max(ys))
+    cells = unpack_blocks(pruned, layers)
+    scale = F.pow(F.lit(2.0), F.col("e").cast("double"))
+    px = (F.col("cx").cast("double") + F.lit(rel[0])) * scale
+    py = (F.col("cy").cast("double") + F.lit(rel[1])) * scale
+    in_bbox = (
+        (px >= F.lit(min(xs))) & (px <= F.lit(max(xs)))
+        & (py >= F.lit(min(ys))) & (py <= F.lit(max(ys)))
+    )
+    return cells.filter(in_bbox & _winding_expr(px, py, verts))
+
+
+def polygon_count_blocks(
+    blocks: DataFrame,
+    verts: list[tuple[float, float]],
+    rel: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Occupied-cell count inside a polygon WITHOUT exploding rows: one
+    higher-order ``aggregate`` over each block's occupancy array evaluates
+    the winding test per element inside codegen — the aggregation-free
+    fast path for selectivity probes at scale. Returns one row (n_inside).
+    """
+    from .query import _normalize_polygon, _winding_expr
+
+    verts = _normalize_polygon(verts)
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    pruned = _prune_blocks_bbox(blocks, min(xs), min(ys), max(xs), max(ys))
+
+    scale = F.pow(F.lit(2.0), F.col("e").cast("double"))
+
+    def cell_inside(i):
+        px = ((F.col("bx") * F.col("w") + F.pmod(i, F.col("w"))).cast("double") + F.lit(rel[0])) * scale
+        py = ((F.col("by") * F.col("w") + (i / F.col("w")).cast("int")).cast("double") + F.lit(rel[1])) * scale
+        in_bbox = (
+            (px >= F.lit(min(xs))) & (px <= F.lit(max(xs)))
+            & (py >= F.lit(min(ys))) & (py <= F.lit(max(ys)))
+        )
+        return in_bbox & _winding_expr(px, py, verts)
+
+    per_block = pruned.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("occ"),
+                F.sequence(F.lit(0), F.size("occ") - 1),
+                lambda o, i: F.when(o & cell_inside(i), F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n")
+    )
+    return per_block.agg(F.sum("n").alias("n_inside"))

@@ -512,3 +512,102 @@ def knn(
             return top
         r *= 2
     return samples.withColumn("dist", dist).orderBy(F.col("dist").asc(), F.col("cx"), F.col("cy")).limit(k)
+
+
+def knn_join(
+    samples: DataFrame,
+    positions: DataFrame,
+    k: int,
+    ring_exponent: int | None = None,
+    max_rings: int = 64,
+) -> DataFrame:
+    """BATCHED kNN: the k nearest samples (by center distance) for EVERY
+    probe in ``positions`` (pid, px, py) — the training-pipeline shape
+    ("nearest samples for each of 10^9 probes"), resolved in set-oriented
+    joins instead of :func:`knn`'s one-point driver loop.
+
+    The reference's batch lookup routes each position down the tree by
+    quadrant (Query.fs:645-793); distributed, that inverts into ring-keyed
+    equi-joins: every sample is keyed by the ring cell CONTAINING ITS
+    CENTER at ``ring_exponent`` (center-keying is exact for center
+    distance), probes explode to their Chebyshev-radius-r ring of cells,
+    and one equi-join + per-probe top-k window scores the round. Probes
+    whose k-th distance fits inside the searched radius (``dist_k <=
+    r * side`` — the same inscribed-circle guarantee as :func:`knn`) are
+    done; the rest re-enter with doubled radius. The driver loop is over
+    RADII (<= log2(max_rings) rounds, one count per round) — never over
+    probes. Stragglers past ``max_rings`` (probes in empty regions) finish
+    with one broadcast top-k sweep.
+
+    Returns (pid, px, py, cx, cy, e, <layers...>, dist), exactly k rows per
+    probe (fewer iff the whole table has < k samples); tie-break
+    (dist, cx, cy) matches :func:`knn` — parity-tested per probe.
+    """
+    from .. import boundary as _bnd
+
+    if ring_exponent is None:
+        ring_exponent = samples.agg(F.max("e")).collect()[0][0]
+    side = 2.0 ** ring_exponent
+
+    cx_center = C.sample_pos(F.col("cx"), F.col("e"), 0.5)
+    cy_center = C.sample_pos(F.col("cy"), F.col("e"), 0.5)
+    s = samples.withColumn("_rcx", F.floor(cx_center / F.lit(side)).cast("long")).withColumn(
+        "_rcy", F.floor(cy_center / F.lit(side)).cast("long")
+    )
+
+    dist = F.sqrt(
+        (cx_center - F.col("px")) * (cx_center - F.col("px"))
+        + (cy_center - F.col("py")) * (cy_center - F.col("py"))
+    )
+    w = W.partitionBy("pid").orderBy(F.col("dist").asc(), F.col("cx"), F.col("cy"))
+    out_cols = ["pid", "px", "py", *[c for c in samples.columns], "dist"]
+
+    unresolved = positions.select(
+        "pid", "px", "py",
+        F.floor(F.col("px") / F.lit(side)).cast("long").alias("_pcx"),
+        F.floor(F.col("py") / F.lit(side)).cast("long").alias("_pcy"),
+    )
+    resolved_parts: list[DataFrame] = []
+    r = 1
+    while r <= max_rings:
+        ring = unresolved.select(
+            "*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("_dx")
+        ).select("*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("_dy"))
+        cand = ring.join(
+            s,
+            (s["_rcx"] == ring["_pcx"] + ring["_dx"])
+            & (s["_rcy"] == ring["_pcy"] + ring["_dy"]),
+            "inner",
+        ).withColumn("dist", dist)
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .withColumn("_kth", F.max("dist").over(W.partitionBy("pid")))
+            .withColumn("_nc", F.count("*").over(W.partitionBy("pid")))
+        )
+        # plan cut: each round's result feeds BOTH the output accumulation
+        # and the next round's anti-join (see boundary.py for the contract)
+        topk = _bnd.cut(topk)
+        done = topk.filter((F.col("_nc") >= k) & (F.col("_kth") <= F.lit(float(r) * side)))
+        resolved_parts.append(done.select(*out_cols))
+        unresolved = unresolved.join(
+            done.select("pid").distinct(), "pid", "left_anti"
+        )
+        if unresolved.limit(1).count() == 0:
+            unresolved = None
+            break
+        r *= 2
+    if unresolved is not None:
+        # stragglers: one broadcast sweep, exact global top-k per probe
+        swept = (
+            s.drop("_rcx", "_rcy")
+            .join(F.broadcast(unresolved.select("pid", "px", "py")))
+            .withColumn("dist", dist)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+        )
+        resolved_parts.append(swept.select(*out_cols))
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -102,3 +102,62 @@ def text_hash_check(pages_a: DataFrame, pages_b: DataFrame) -> int:
     ha = pages_a.select("url", F.md5(F.encode("text", "utf-8")).alias("h_a"))
     hb = pages_b.select("url", F.md5(F.encode("text", "utf-8")).alias("h_b"))
     return ha.join(hb, "url", "inner").filter(F.col("h_a") != F.col("h_b")).count()
+
+
+def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
+    """Geocoded pages -> aligned block raster DIRECTLY — the scale-path
+    ingest that never materializes a per-cell row set.
+
+    ``pages_to_samples`` aggregates per cell: a hash aggregation whose key
+    set is the full cell grid (8-16M keys at crawl scale) — the round-2
+    scaling bottleneck (cpu-time inflates 1.45-1.8x at 16 threads from
+    DRAM/LLC contention on the hash table). Here the only shuffle is a hash
+    partition of the raw points by BLOCK key (a few hundred groups, no
+    per-cell hash table anywhere); each block's cells are then histogrammed
+    with vectorized ``np.bincount`` into the dense array payload of
+    :func:`..operators.blocks.pack_blocks` format. Layer parity with
+    ``pages_to_samples``: ``height`` = mean text length per cell (sums of
+    integer-valued doubles are exact, so equality with the hash-agg path is
+    bitwise — tested), ``n_pages`` = page count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import cells as C
+
+    w = 1 << bits
+    keyed = pages_xy.select(
+        C.cell_coord(F.col("x"), e).alias("cx"),
+        C.cell_coord(F.col("y"), e).alias("cy"),
+        F.length("text").cast("double").alias("tl"),
+    ).select(
+        F.shiftright(F.col("cx"), bits).alias("bx"),
+        F.shiftright(F.col("cy"), bits).alias("by"),
+        "cx", "cy", "tl",
+    )
+    out_schema = (
+        "bx long, by long, e int, w int, n_samples long, occ array<boolean>, "
+        "height array<double>, n_pages array<long>, n_pages_mask array<boolean>"
+    )
+
+    def _hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        bx = int(pdf["bx"].iloc[0])
+        by = int(pdf["by"].iloc[0])
+        cx = pdf["cx"].to_numpy(np.int64)
+        cy = pdf["cy"].to_numpy(np.int64)
+        idx = (cy - by * w) * w + (cx - bx * w)
+        counts = np.bincount(idx, minlength=w * w)
+        sums = np.bincount(idx, weights=pdf["tl"].to_numpy(np.float64), minlength=w * w)
+        occ = counts > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            height = np.where(occ, sums / np.maximum(counts, 1), np.nan)
+        return pd.DataFrame({
+            "bx": [bx], "by": [by], "e": [e], "w": [w],
+            "n_samples": [int(occ.sum())],
+            "occ": [occ.tolist()],
+            "height": [height.tolist()],
+            "n_pages": [counts.astype(np.int64).tolist()],
+            "n_pages_mask": [occ.tolist()],
+        })
+
+    return keyed.groupBy("bx", "by").applyInPandas(_hist, out_schema)

@@ -1,0 +1,137 @@
+"""Block-raster engine parity: pack/unpack roundtrip, dominance-merge and
+pyramid differential tests against the sample-level operators, polygon
+query parity, and the Exchange-free bucketed merge plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aardvark_geometry_quadtree_spark.operators import blocks as B
+from aardvark_geometry_quadtree_spark.operators.merge import Dominance, merge_samples
+from aardvark_geometry_quadtree_spark.operators.pyramid import build_pyramid
+from aardvark_geometry_quadtree_spark.operators.query import inside_polygon
+
+
+def _mk(spark, seed, n=400, span=40, holes=True):
+    """Deterministic sample set with negative coords, a float layer with
+    holes, and an int layer with holes."""
+    df = spark.range(n).select(
+        ((F.col("id") * (17 + seed)) % span - span // 2).cast("long").alias("cx"),
+        ((F.col("id") * (29 + seed)) % span - span // 2).cast("long").alias("cy"),
+        F.lit(0).cast("int").alias("e"),
+        F.when((F.col("id") % 7) == 0, F.lit(None)).otherwise(
+            (F.col("id") * 1.5 + seed)).alias("height"),
+        F.when((F.col("id") % 5) == 0, F.lit(None)).otherwise(
+            F.col("id") * 3 + seed).cast("bigint").alias("n"),
+    )
+    if not holes:
+        df = df.withColumn("height", F.coalesce("height", F.lit(0.0))).withColumn(
+            "n", F.coalesce("n", F.lit(0)))
+    # one row per cell (merge precondition): keep max id per cell
+    return df.groupBy("cx", "cy", "e").agg(
+        F.max("height").alias("height"), F.max("n").alias("n")
+    )
+
+
+def _cells(df, layers=("height", "n")):
+    return {
+        (r["cx"], r["cy"], r["e"]): tuple(r[l] for l in layers) for r in df.collect()
+    }
+
+
+def test_pack_unpack_roundtrip(spark):
+    s = _mk(spark, 1)
+    back = B.unpack_blocks(B.pack_blocks(s, bits=3), layer_types={"height": "double", "n": "bigint"})
+    assert dict(back.dtypes)["n"] == "bigint"
+    assert _cells(back) == _cells(s)
+
+
+@pytest.mark.parametrize("dom", list(Dominance))
+def test_merge_blocks_matches_sample_merge(spark, dom):
+    a = _mk(spark, 1)
+    b = _mk(spark, 2)
+    expect = _cells(
+        merge_samples(a, b, dom, layers=["height", "n"],
+                      first_exponents=[0], second_exponents=[0])
+    )
+    got = _cells(
+        B.unpack_blocks(B.merge_blocks(B.pack_blocks(a, 3), B.pack_blocks(b, 3), dom))
+    )
+    assert got == expect
+
+
+def test_merge_blocks_winner_hole_stays_hole(spark):
+    # wholesale winner semantics: first side present with a NULL layer value
+    # beats a defined second-side value (Query.fs:79-196 per-sample rule)
+    a = spark.createDataFrame([(0, 0, 0, None, None)], "cx long, cy long, e int, height double, n bigint")
+    b = spark.createDataFrame([(0, 0, 0, 9.0, 9)], "cx long, cy long, e int, height double, n bigint")
+    got = _cells(B.unpack_blocks(B.merge_blocks(B.pack_blocks(a, 2), B.pack_blocks(b, 2), "first")))
+    assert got == {(0, 0, 0): (None, None)}
+
+
+def test_pyramid_blocks_matches_build_pyramid(spark):
+    s = _mk(spark, 3)
+    blk = B.pack_blocks(s, bits=3)
+    got = B.unpack_blocks(B.pyramid_blocks(blk, levels=2))
+    exp = build_pyramid(s, levels=2, layers=["height", "n"], include_base=False)
+    ge = {k: (None if v[0] is None else round(v[0], 9), v[1]) for k, v in _cells(got).items()}
+    ee = {k: (None if v[0] is None else round(v[0], 9), v[1]) for k, v in _cells(exp).items()}
+    assert ge == ee
+
+
+def test_pyramid_blocks_include_base_and_level_cap(spark):
+    s = _mk(spark, 4)
+    blk = B.pack_blocks(s, bits=2)
+    withbase = B.pyramid_blocks(blk, levels=1, include_base=True)
+    assert _cells(B.unpack_blocks(withbase.filter(F.col("e") == 0))) == _cells(s)
+    with pytest.raises(Exception, match="levels exceeds"):
+        B.pyramid_blocks(blk, levels=3).count()
+
+
+def test_polygon_blocks_parity(spark):
+    s = _mk(spark, 5)
+    blk = B.pack_blocks(s, bits=3)
+    poly = [(-12.3, -11.7), (13.1, -10.2), (12.4, 12.8), (-11.9, 11.1)]
+    exp = inside_polygon(s, poly)
+    got = B.inside_polygon_blocks(blk, poly)
+    assert _cells(got) == _cells(exp)
+    n = B.polygon_count_blocks(blk, poly).collect()[0]["n_inside"]
+    assert n == exp.count()
+
+
+def test_bucketed_merge_blocks_no_exchange(spark, tmp_path):
+    """The co-location contract: two block tables bucketed on (bx, by) merge
+    with no Exchange in the physical plan."""
+    import shutil
+
+    for t in ("blk_a_t", "blk_b_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    a = B.pack_blocks(_mk(spark, 6), 3)
+    b = B.pack_blocks(_mk(spark, 7), 3)
+    B.save_blocks_bucketed(a, "blk_a_t", n_buckets=4)
+    B.save_blocks_bucketed(b, "blk_b_t", n_buckets=4)
+    ta, tb = spark.table("blk_a_t"), spark.table("blk_b_t")
+    m = B.merge_blocks(ta, tb, "more_detailed_or_first")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the exchange-free plan returns the same cells as the direct merge
+    direct = B.merge_blocks(a, b, "more_detailed_or_first")
+    assert _cells(B.unpack_blocks(m)) == _cells(B.unpack_blocks(direct))
+    spark.sql("DROP TABLE IF EXISTS blk_a_t")
+    spark.sql("DROP TABLE IF EXISTS blk_b_t")
+
+
+def test_pages_to_blocks_matches_hash_agg_ingest(spark):
+    """The bincount block ingest must equal pack_blocks(pages_to_samples(..))
+    bitwise (height sums integer-valued doubles -> exact)."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import (
+        geocode, pages_to_blocks, pages_to_samples, synth_webpages)
+
+    pages = geocode(synth_webpages(spark, 4000, nsites=60, seed=11), extent=128.0)
+    via_cells = B.pack_blocks(
+        pages_to_samples(pages, e=0).withColumn("n_pages", F.col("n_pages").cast("bigint")),
+        bits=4,
+    )
+    direct = pages_to_blocks(pages, e=0, bits=4)
+    key = lambda df: _cells(B.unpack_blocks(df), layers=("height", "n_pages"))
+    assert key(direct) == key(via_cells)

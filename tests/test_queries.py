@@ -198,3 +198,22 @@ def test_inside_box_pushdown_parity_and_scan_filters(q10x7, spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(cx" in plan or "ThanOrEqual(cx" in plan
+
+
+def test_knn_join_matches_per_point_knn(spark, q10x7):
+    """Batched ring-join kNN == the per-point driver-loop kNN for every
+    probe, including a far probe that needs ring doubling and one beyond
+    max_rings (broadcast-sweep path)."""
+    probes = [(0, 0.0, 0.0), (1, 9.5, 6.5), (2, 4.2, 3.7), (3, 200.0, 200.0)]
+    pos = spark.createDataFrame(probes, "pid long, px double, py double")
+    batched = Q.knn_join(q10x7, pos, k=3, ring_exponent=0, max_rings=8)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["pid"], []).append((round(r["dist"], 9), r["cx"], r["cy"]))
+    for pid, px, py in probes:
+        exp = [
+            (round(r["dist"], 9), r["cx"], r["cy"])
+            for r in Q.knn(q10x7, px, py, 3, ring_exponent=0, max_rings=8).collect()
+        ]
+        assert sorted(got[pid]) == sorted(exp), pid
+        assert len(got[pid]) == 3
