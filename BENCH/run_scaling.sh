@@ -14,6 +14,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 PAGES="${PAGES:-24000000}"
+EXTENT="${EXTENT:-4096.0}"
 N_LO="${N_LO:-4}"
 N_HI="${N_HI:-16}"
 REPS="${REPS:-2}"
@@ -35,7 +36,7 @@ run() {
     --conf spark.sql.warehouse.dir=/dev/shm/spark-wh \
     --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC" \
     --py-files "$ZIP" \
-    BENCH/scaling.py --cores "$cores" --pages "$PAGES" 2>/dev/null | tail -1
+    BENCH/scaling.py --cores "$cores" --pages "$PAGES" --extent "$EXTENT" 2>/dev/null | tail -1
 }
 
 # The hypervisor throttles SUSTAINED load (invisible to guest steal

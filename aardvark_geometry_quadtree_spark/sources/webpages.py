@@ -67,8 +67,12 @@ def synth_webpages(
 def geocode(pages: DataFrame, extent: float = 1024.0, seed: int = 42) -> DataFrame:
     """Deterministic geocode url -> (x, y) in [0, extent)^2 (documented,
     FIXTURES.md §4): site-hash picks a region center, page-hash jitters
-    within it. Pure Column arithmetic — no Python per row."""
-    site = F.regexp_extract("url", r"https://site(\d+)\.example", 1).cast("long")
+    within it. Pure Column arithmetic — no Python per row. Site extraction
+    uses substring_index instead of a regex (same value; regexp_extract was
+    the single hottest allocation site in ingest profiling)."""
+    site = F.substring_index(
+        F.substring_index(F.col("url"), ".example", 1), "//site", -1
+    ).cast("long")
     hx = F.pmod(F.xxhash64(site, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
     hy = F.pmod(F.xxhash64(site, F.lit(seed + 1)), F.lit(1_000_000)) / 1_000_000.0
     jx = F.pmod(F.xxhash64("url", F.lit(seed + 2)), F.lit(1_000_000)) / 1_000_000.0

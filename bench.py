@@ -71,8 +71,12 @@ def main() -> None:
         "inside_polygon": E.q_inside_polygon,
         "near_line": E.q_near_line,
         "merge_dominance": E.q_merge_dominance,
+        "merge_blocks": E.q_merge_blocks,
+        "pyramid_blocks": E.q_pyramid_blocks,
+        "polygon_blocks": E.q_polygon_blocks,
         "merge_mixed_res": E.q_merge_mixed_res,
         "knn": E.q_knn,
+        "knn_batch": E.q_knn_batch,
         "lod_cut": E.q_lod_cut,
         "exact_dups": E.q_exact_dups,
         "lsh_pairs": E.q_lsh_pairs,

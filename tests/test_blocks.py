@@ -45,8 +45,9 @@ def test_pack_unpack_roundtrip(spark):
     assert _cells(back) == _cells(s)
 
 
+@pytest.mark.parametrize("engine", ["kernel", "sql"])
 @pytest.mark.parametrize("dom", list(Dominance))
-def test_merge_blocks_matches_sample_merge(spark, dom):
+def test_merge_blocks_matches_sample_merge(spark, dom, engine):
     a = _mk(spark, 1)
     b = _mk(spark, 2)
     expect = _cells(
@@ -54,17 +55,22 @@ def test_merge_blocks_matches_sample_merge(spark, dom):
                       first_exponents=[0], second_exponents=[0])
     )
     got = _cells(
-        B.unpack_blocks(B.merge_blocks(B.pack_blocks(a, 3), B.pack_blocks(b, 3), dom))
+        B.unpack_blocks(
+            B.merge_blocks(B.pack_blocks(a, 3), B.pack_blocks(b, 3), dom, engine=engine)
+        )
     )
     assert got == expect
 
 
-def test_merge_blocks_winner_hole_stays_hole(spark):
+@pytest.mark.parametrize("engine", ["kernel", "sql"])
+def test_merge_blocks_winner_hole_stays_hole(spark, engine):
     # wholesale winner semantics: first side present with a NULL layer value
     # beats a defined second-side value (Query.fs:79-196 per-sample rule)
     a = spark.createDataFrame([(0, 0, 0, None, None)], "cx long, cy long, e int, height double, n bigint")
     b = spark.createDataFrame([(0, 0, 0, 9.0, 9)], "cx long, cy long, e int, height double, n bigint")
-    got = _cells(B.unpack_blocks(B.merge_blocks(B.pack_blocks(a, 2), B.pack_blocks(b, 2), "first")))
+    got = _cells(B.unpack_blocks(
+        B.merge_blocks(B.pack_blocks(a, 2), B.pack_blocks(b, 2), "first", engine=engine)
+    ))
     assert got == {(0, 0, 0): (None, None)}
 
 
