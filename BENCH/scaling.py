@@ -58,6 +58,21 @@ def _cpu_probe(procs: int, seconds: float = 3.0) -> float:
     return round(total * 0.1 / seconds / procs, 2)
 
 
+def _bw_probe(procs: int) -> float:
+    """Aggregate DRAM-stream bandwidth (GB/s) at ``procs`` concurrent
+    streams — the host's data-movement capacity in this leg's window. The
+    4->16 ratio of this number is the HARD ceiling for any data-bound
+    phase: measured ~1.85x (= 0.46 scaling efficiency) on this box, vs the
+    spin probe's ~3.2x (0.79-0.81) for cache-resident compute. See
+    BENCH/bandwidth_probe.py."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from BENCH.bandwidth_probe import run as bw_run
+
+    return bw_run(procs)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
@@ -68,6 +83,7 @@ def main() -> None:
     args = ap.parse_args()
 
     probe_before = _cpu_probe(args.cores)
+    bw_before = _bw_probe(args.cores)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -182,6 +198,7 @@ def main() -> None:
     wall = time.perf_counter() - t0
     cpu = jvm_cpu_sec() - cpu0
     probe_after = _cpu_probe(args.cores)
+    bw_after = _bw_probe(args.cores)
     print(
         json.dumps(
             {
@@ -193,6 +210,7 @@ def main() -> None:
                 "rows_per_sec": round(rows / wall, 1),
                 "phases": phases,
                 "probe_mloops_per_core": [probe_before, probe_after],
+                "probe_bw_gbps": [bw_before, bw_after],
                 "jvm_cpu_sec": round(cpu, 1),
                 "cpu_utilization": round(cpu / (wall * args.cores), 3),
             }

@@ -103,34 +103,51 @@ def pack_blocks(
         "cx", "cy", *layers,
     )
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        bx = int(pdf["bx"].iloc[0])
-        by = int(pdf["by"].iloc[0])
-        cx = pdf["cx"].to_numpy(np.int64)
-        cy = pdf["cy"].to_numpy(np.int64)
-        idx = (cy - by * w) * w + (cx - bx * w)
-        occ = np.zeros(w * w, dtype=bool)
-        occ[idx] = True
-        row: dict = {
-            "bx": [bx], "by": [by], "e": [int(pdf["e"].iloc[0])],
-            "w": [w], "n_samples": [len(pdf)], "occ": [occ.tolist()],
-        }
-        for name in layers:
-            defined = pdf[name].notna().to_numpy()
-            if name in int_layers:
-                buf = np.zeros(w * w, dtype=np.int64)
-                buf[idx[defined]] = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
-                dmask = np.zeros(w * w, dtype=bool)
-                dmask[idx[defined]] = True
-                row[name] = [buf.tolist()]
-                row[f"{name}_mask"] = [dmask.tolist()]
-            else:
-                buf = np.full(w * w, np.nan)
-                buf[idx[defined]] = pdf[name][defined].to_numpy(np.float64)
-                row[name] = [buf.tolist()]
-        return pd.DataFrame(row)
+    # repartition + whole-partition mapInPandas, NOT groupBy.applyInPandas:
+    # applyInPandas invokes the kernel (and builds a pandas frame) once per
+    # GROUP — ~5 ms of fixed cost each, which dominated on sparse rasters
+    # with thousands of near-empty blocks (measured 17.7 s for 3.6k tiny
+    # blocks). Here a partition's groups are sliced inside ONE kernel call
+    # and emitted as one frame.
+    def _pack_partition(iterator):
+        # a partition can arrive as multiple Arrow batches; the kernel needs
+        # whole groups, so concatenate first (groups are co-located by the
+        # repartition, never split across partitions)
+        batches = list(iterator)
+        if not batches:
+            return
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        if not len(pdf):
+            return
+        out: dict[str, list] = {f.split(" ")[0]: [] for f in fields}
+        for (bx, by, e), g in pdf.groupby(["bx", "by", "e"], sort=False):
+            cx = g["cx"].to_numpy(np.int64)
+            cy = g["cy"].to_numpy(np.int64)
+            idx = (cy - int(by) * w) * w + (cx - int(bx) * w)
+            occ = np.zeros(w * w, dtype=bool)
+            occ[idx] = True
+            out["bx"].append(int(bx))
+            out["by"].append(int(by))
+            out["e"].append(int(e))
+            out["w"].append(w)
+            out["n_samples"].append(len(g))
+            out["occ"].append(occ.tolist())
+            for name in layers:
+                defined = g[name].notna().to_numpy()
+                if name in int_layers:
+                    buf = np.zeros(w * w, dtype=np.int64)
+                    buf[idx[defined]] = pd.to_numeric(g[name][defined]).to_numpy(np.int64)
+                    dmask = np.zeros(w * w, dtype=bool)
+                    dmask[idx[defined]] = True
+                    out[name].append(buf.tolist())
+                    out[f"{name}_mask"].append(dmask.tolist())
+                else:
+                    buf = np.full(w * w, np.nan)
+                    buf[idx[defined]] = g[name][defined].to_numpy(np.float64)
+                    out[name].append(buf.tolist())
+        yield pd.DataFrame(out)
 
-    return keyed.groupBy("bx", "by", "e").applyInPandas(_pack, out_schema)
+    return keyed.repartition("bx", "by", "e").mapInPandas(_pack_partition, out_schema)
 
 
 def unpack_blocks(

@@ -144,24 +144,39 @@ def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame
         "height array<double>, n_pages array<long>, n_pages_mask array<boolean>"
     )
 
-    def _hist(pdf: pd.DataFrame) -> pd.DataFrame:
-        bx = int(pdf["bx"].iloc[0])
-        by = int(pdf["by"].iloc[0])
-        cx = pdf["cx"].to_numpy(np.int64)
-        cy = pdf["cy"].to_numpy(np.int64)
-        idx = (cy - by * w) * w + (cx - bx * w)
-        counts = np.bincount(idx, minlength=w * w)
-        sums = np.bincount(idx, weights=pdf["tl"].to_numpy(np.float64), minlength=w * w)
-        occ = counts > 0
-        with np.errstate(invalid="ignore", divide="ignore"):
-            height = np.where(occ, sums / np.maximum(counts, 1), np.nan)
-        return pd.DataFrame({
-            "bx": [bx], "by": [by], "e": [e], "w": [w],
-            "n_samples": [int(occ.sum())],
-            "occ": [occ.tolist()],
-            "height": [height.tolist()],
-            "n_pages": [counts.astype(np.int64).tolist()],
-            "n_pages_mask": [occ.tolist()],
-        })
+    # repartition + whole-partition kernel (one pandas frame per partition,
+    # groups sliced inside) instead of groupBy.applyInPandas — the per-GROUP
+    # invocation cost of applyInPandas (~5 ms) is pure overhead on block
+    # histograms; see operators/blocks.py pack_blocks for the measurement
+    def _hist(iterator):
+        batches = list(iterator)
+        if not batches:
+            return
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        if not len(pdf):
+            return
+        out: dict[str, list] = {
+            k: [] for k in ("bx", "by", "e", "w", "n_samples", "occ",
+                            "height", "n_pages", "n_pages_mask")
+        }
+        for (bx, by), g in pdf.groupby(["bx", "by"], sort=False):
+            cx = g["cx"].to_numpy(np.int64)
+            cy = g["cy"].to_numpy(np.int64)
+            idx = (cy - int(by) * w) * w + (cx - int(bx) * w)
+            counts = np.bincount(idx, minlength=w * w)
+            sums = np.bincount(idx, weights=g["tl"].to_numpy(np.float64), minlength=w * w)
+            occ = counts > 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                height = np.where(occ, sums / np.maximum(counts, 1), np.nan)
+            out["bx"].append(int(bx))
+            out["by"].append(int(by))
+            out["e"].append(e)
+            out["w"].append(w)
+            out["n_samples"].append(int(occ.sum()))
+            out["occ"].append(occ.tolist())
+            out["height"].append(height.tolist())
+            out["n_pages"].append(counts.astype(np.int64).tolist())
+            out["n_pages_mask"].append(occ.tolist())
+        yield pd.DataFrame(out)
 
-    return keyed.groupBy("bx", "by").applyInPandas(_hist, out_schema)
+    return keyed.repartition("bx", "by").mapInPandas(_hist, out_schema)
