@@ -129,8 +129,12 @@ try:
 except Exception:
     prev_eff = -1
 if out["best_paired_efficiency"] > prev_eff:
-    open("BENCH/scaling_results.json", "w").write(json.dumps(out, indent=2) + "\n")
-    print("scaling_results.json updated (new best paired window)")
+    # scaling_results.json is the hand-consolidated evidence document
+    # (envelopes, per-phase decomposition, narrative); a better raw window
+    # lands in scaling_best_run.json for manual folding-in, never clobbers it
+    open("BENCH/scaling_best_run.json", "w").write(json.dumps(out, indent=2) + "\n")
+    print(f"NEW BEST paired window {out['best_paired_efficiency']} > {prev_eff}: "
+          "written to BENCH/scaling_best_run.json - fold into scaling_results.json")
 else:
-    print(f"kept existing scaling_results.json (best {prev_eff} >= {out['best_paired_efficiency']})")
+    print(f"kept best ({prev_eff} >= {out['best_paired_efficiency']})")
 EOF

@@ -37,6 +37,7 @@ from aardvark_geometry_quadtree_spark.operators.dedup import (
     word_shingles,
 )
 from aardvark_geometry_quadtree_spark.operators.blocks import (
+    inside_box_blocks,
     inside_polygon_blocks,
     merge_blocks,
     pack_blocks,
@@ -338,6 +339,17 @@ def q_pyramid_blocks(spark, sf_dir):
     )
 
 
+def q_box_blocks(spark, sf_dir):
+    """J6 via the block path: block-bbox prune + exact position predicate
+    over unpacked cells; same oracle as q_inside_box."""
+    s = _doc_samples(spark, sf_dir)
+    cells = inside_box_blocks(pack_blocks(s, bits=4), -50.0, -80.0, 120.0, 60.0)
+    return _r6(
+        cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
+        "height",
+    )
+
+
 def q_polygon_blocks(spark, sf_dir):
     """J7 via the block path: block-bbox prune (scan-prunable Catalyst
     filter) + codegen winding test over unpacked cells; same oracle as
@@ -557,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_blocks": q_merge_blocks,
         "pyramid_blocks": q_pyramid_blocks,
         "polygon_blocks": q_polygon_blocks,
+        "box_blocks": q_box_blocks,
         "merge_mixed_res": q_merge_mixed_res,
         "lod_cut": q_lod_cut,
         "ebb_stats": q_ebb_stats,
@@ -746,6 +759,10 @@ def oracle_sql() -> dict[str, str]:
         "polygon_blocks": f"""
             SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
             WHERE {_half_planes_sql('cx + 0.5', 'cy + 0.5')}
+        """,
+        "box_blocks": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE cx + 0.5 >= -50 AND cx + 0.5 <= 120 AND cy + 0.5 >= -80 AND cy + 0.5 <= 60
         """,
         "merge_mixed_res": f"""
             WITH fine AS (SELECT cx, cy, e, height FROM ({S0})),

@@ -494,6 +494,45 @@ def _prune_blocks_bbox(blocks: DataFrame, bx0: float, by0: float, bx1: float, by
     )
 
 
+def inside_box_blocks(
+    blocks: DataFrame,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    rel: tuple[float, float] = (0.5, 0.5),
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """Cells of a block raster whose SampleMode position lies in the box
+    (inclusive bounds — exactly ``query.inside_box``'s predicate,
+    Query.fs:450), returned as unpacked sample rows.
+
+    Phase 1 prunes whole blocks by bbox overlap (plain Catalyst filter on
+    the block key — parquet min/max prunable, same shape as the sample
+    path's ``inside_box_pushdown``); phase 2 unpacks only surviving blocks
+    (JVM posexplode) and applies the exact position predicate in codegen.
+    """
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    # inclusive-max prune (block min <= max bound, block max > min bound) —
+    # a sample position exactly on the box max may sit on a block's min edge
+    side = _block_bounds(F.col("e"), F.col("w"))
+    bx0c = F.col("bx").cast("double") * side
+    by0c = F.col("by").cast("double") * side
+    pruned = blocks.filter(
+        (bx0c <= F.lit(float(x1))) & (bx0c + side > F.lit(float(x0)))
+        & (by0c <= F.lit(float(y1))) & (by0c + side > F.lit(float(y0)))
+    )
+    cells = unpack_blocks(pruned, layers)
+    scale = F.pow(F.lit(2.0), F.col("e").cast("double"))
+    px = (F.col("cx").cast("double") + F.lit(rel[0])) * scale
+    py = (F.col("cy").cast("double") + F.lit(rel[1])) * scale
+    return cells.filter(
+        (px >= F.lit(float(x0))) & (px <= F.lit(float(x1)))
+        & (py >= F.lit(float(y0))) & (py <= F.lit(float(y1)))
+    )
+
+
 def inside_polygon_blocks(
     blocks: DataFrame,
     verts: list[tuple[float, float]],

@@ -141,3 +141,18 @@ def test_pages_to_blocks_matches_hash_agg_ingest(spark):
     direct = pages_to_blocks(pages, e=0, bits=4)
     key = lambda df: _cells(B.unpack_blocks(df), layers=("height", "n_pages"))
     assert key(direct) == key(via_cells)
+
+
+def test_inside_box_blocks_parity(spark):
+    from aardvark_geometry_quadtree_spark.operators.query import inside_box
+
+    s = _mk(spark, 8)
+    blk = B.pack_blocks(s, bits=3)
+    # box edges chosen to land exactly on cell centers (inclusive-bound edge)
+    got = _cells(B.inside_box_blocks(blk, -10.5, -9.5, 10.5, 9.5))
+    exp = _cells(inside_box(s, -10.5, -9.5, 10.5, 9.5))
+    assert got == exp and len(got) > 0
+    # rel=0.0 position exactly on the max bound, sitting on a block min edge
+    got0 = _cells(B.inside_box_blocks(blk, 0.0, 0.0, 8.0, 8.0, rel=(0.0, 0.0)))
+    exp0 = _cells(inside_box(s, 0.0, 0.0, 8.0, 8.0, rel=(0.0, 0.0)))
+    assert got0 == exp0
