@@ -130,7 +130,11 @@ def pack_blocks(
             out["by"].append(int(by))
             out["e"].append(int(e))
             out["w"].append(w)
-            out["n_samples"].append(len(g))
+            # occupied-cell count, NOT len(g): n_samples means occupied cells
+            # everywhere on the block path (merge kernel, pyramid), and
+            # duplicate (cx, cy) input rows — a violated uniqueness
+            # precondition — must not inflate it past the occupancy
+            out["n_samples"].append(int(occ.sum()))
             out["occ"].append(occ.tolist())
             for name in layers:
                 defined = g[name].notna().to_numpy()
@@ -268,6 +272,10 @@ def merge_blocks(
         .when(only_b, F.col("_occ_b"))
         .otherwise(F.zip_with(F.col("_occ_a"), F.col("_occ_b"), lambda x, y: x | y))
     )
+    # same output schema as engine='kernel' (interchangeability contract):
+    # n_samples = occupied-cell count. size(filter(...)) is a HOF — fine at
+    # the small-array sizes this engine is documented for.
+    out.append(F.size(F.filter(occ, lambda x: x)).cast("long").alias("n_samples"))
     out.append(occ.alias("occ"))
     for n in layers:
         a_n, b_n = f"_a_{n}", f"_b_{n}"
@@ -483,14 +491,20 @@ def _block_bounds(e_col, w_col):
 
 
 def _prune_blocks_bbox(blocks: DataFrame, bx0: float, by0: float, bx1: float, by1: float) -> DataFrame:
-    """Keep blocks whose world bbox intersects [bx0,bx1)x[by0,by1): a plain
-    Catalyst filter on (bx, by, e, w) — parquet min/max prunable."""
+    """Keep blocks whose world bbox intersects [bx0,bx1]x[by0,by1]: a plain
+    Catalyst filter on (bx, by, e, w) — parquet min/max prunable.
+
+    The max side is INCLUSIVE (block min <= bbox max), matching
+    :func:`inside_box_blocks`: the per-cell predicates downstream test
+    inclusive bounds, and a sample position exactly on the bbox max can sit
+    on a block's min edge (rel=(0,0) with the polygon bbox max on a block
+    boundary) — a strict prune would drop that cell."""
     side = _block_bounds(F.col("e"), F.col("w"))
     x0 = F.col("bx").cast("double") * side
     y0 = F.col("by").cast("double") * side
     return blocks.filter(
-        (x0 < F.lit(bx1)) & (x0 + side > F.lit(bx0))
-        & (y0 < F.lit(by1)) & (y0 + side > F.lit(by0))
+        (x0 <= F.lit(bx1)) & (x0 + side > F.lit(bx0))
+        & (y0 <= F.lit(by1)) & (y0 + side > F.lit(by0))
     )
 
 
@@ -514,15 +528,7 @@ def inside_box_blocks(
     """
     if layers is None:
         layers, _ = _block_layers(blocks)
-    # inclusive-max prune (block min <= max bound, block max > min bound) —
-    # a sample position exactly on the box max may sit on a block's min edge
-    side = _block_bounds(F.col("e"), F.col("w"))
-    bx0c = F.col("bx").cast("double") * side
-    by0c = F.col("by").cast("double") * side
-    pruned = blocks.filter(
-        (bx0c <= F.lit(float(x1))) & (bx0c + side > F.lit(float(x0)))
-        & (by0c <= F.lit(float(y1))) & (by0c + side > F.lit(float(y0)))
-    )
+    pruned = _prune_blocks_bbox(blocks, float(x0), float(y0), float(x1), float(y1))
     cells = unpack_blocks(pruned, layers)
     scale = F.pow(F.lit(2.0), F.col("e").cast("double"))
     px = (F.col("cx").cast("double") + F.lit(rel[0])) * scale

@@ -141,7 +141,14 @@ class Builder:
     def save(self, path: str) -> None:
         """Persist the patch list (Builder.Save: PatchIds + per-patch blobs).
         A small JSON manifest records the per-entry exponent hints so a
-        reloaded builder keeps the zero-discovery build path."""
+        reloaded builder keeps the zero-discovery build path.
+
+        LOCAL-PATH contract (same as ``sources.store.ParquetStore``): the
+        parquet write goes through Spark and works on any Hadoop-visible
+        URI, but the manifest (and ``load``'s ``patch_id=*`` directory
+        fallback) uses local-FS ``open``/``os.listdir`` — ``path`` must be a
+        local filesystem path. On object storage, stage locally and copy,
+        or port the manifest I/O to the Hadoop FileSystem API."""
         import json
         import os
 

@@ -104,6 +104,40 @@ def test_polygon_blocks_parity(spark):
     assert n == exp.count()
 
 
+def test_polygon_blocks_parity_rel_zero_boundary(spark):
+    """rel=(0,0) puts sample positions on cell MIN corners: a cell whose
+    position lies exactly on the polygon bbox max can sit on a block's min
+    edge (cell (8,4) with poly max x=8.0 at bits=3 starts block bx=1). The
+    block-bbox prune must be inclusive on the max side or this cell is
+    dropped while inside_polygon keeps it."""
+    rows = [(8, 4), (7, 4), (3, 3), (9, 4), (8, 9)]
+    s = spark.createDataFrame(
+        [(cx, cy, 0, float(cx * 10 + cy), cx + cy) for cx, cy in rows],
+        "cx long, cy long, e int, height double, n bigint",
+    )
+    poly = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0)]
+    blk = B.pack_blocks(s, bits=3)
+    exp = inside_polygon(s, poly, rel=(0.0, 0.0))
+    got = B.inside_polygon_blocks(blk, poly, rel=(0.0, 0.0))
+    assert _cells(got) == _cells(exp)
+    assert (8, 4, 0) in _cells(got)  # the boundary cell itself
+    n = B.polygon_count_blocks(blk, poly, rel=(0.0, 0.0)).collect()[0]["n_inside"]
+    assert n == exp.count()
+
+
+def test_merge_blocks_sql_engine_emits_n_samples(spark):
+    """engine='sql' and engine='kernel' share one output schema, including
+    the occupied-cell count."""
+    a = B.pack_blocks(_mk(spark, 3), 3)
+    b = B.pack_blocks(_mk(spark, 4), 3)
+    ms = B.merge_blocks(a, b, "first", engine="sql")
+    mk = B.merge_blocks(a, b, "first", engine="kernel")
+    assert [c for c in ms.columns] == [c for c in mk.columns]
+    got = {(r["bx"], r["by"], r["e"]): r["n_samples"] for r in ms.collect()}
+    exp = {(r["bx"], r["by"], r["e"]): r["n_samples"] for r in mk.collect()}
+    assert got == exp
+
+
 def test_bucketed_merge_blocks_no_exchange(spark, tmp_path):
     """The co-location contract: two block tables bucketed on (bx, by) merge
     with no Exchange in the physical plan."""
