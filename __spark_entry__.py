@@ -40,6 +40,7 @@ from aardvark_geometry_quadtree_spark.operators.blocks import (
     inside_box_blocks,
     inside_polygon_blocks,
     merge_blocks,
+    merge_blocks_mixed,
     pack_blocks,
     pyramid_blocks,
     unpack_blocks,
@@ -312,6 +313,26 @@ def q_merge_mixed_res(spark, sf_dir):
     return _r6(m.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
 
 
+def q_merge_blocks_mixed(spark, sf_dir):
+    """M1+J11 via the BLOCK-RASTER path (operators/blocks.py
+    merge_blocks_mixed): cross-exponent anchor-grouped kernel merge — the
+    scale engine's mixed-resolution path. Same semantics as
+    q_merge_mixed_res through a disjoint execution path, checked against
+    the same oracle (fine e0 beats coarse e1; partially-covered coarse
+    cells re-emerge as minimal uncovered fragments)."""
+    fine = _doc_samples(spark, sf_dir, "src0").drop("n_docs")
+    coarse = downsample_once(_doc_samples(spark, sf_dir, "src1").drop("n_docs"), ["height"])
+    m = merge_blocks_mixed(
+        pack_blocks(coarse, bits=4),
+        pack_blocks(fine, bits=4),
+        Dominance.MoreDetailedOrFirst,
+        first_exponents=[1],
+        second_exponents=[0],
+    )
+    u = unpack_blocks(m, layer_types={"height": "double"})
+    return _r6(u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
+
+
 def q_merge_blocks(spark, sf_dir):
     """M1 via the BLOCK-RASTER path (operators/blocks.py): aligned-array
     zip_with winner kernel + co-partitionable join — the exchange-free scale
@@ -571,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_blocks": q_polygon_blocks,
         "box_blocks": q_box_blocks,
         "merge_mixed_res": q_merge_mixed_res,
+        "merge_blocks_mixed": q_merge_blocks_mixed,
         "lod_cut": q_lod_cut,
         "ebb_stats": q_ebb_stats,
         "token_count": q_token_count,
@@ -765,6 +787,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE cx + 0.5 >= -50 AND cx + 0.5 <= 120 AND cy + 0.5 >= -80 AND cy + 0.5 <= 60
         """,
         "merge_mixed_res": f"""
+            WITH fine AS (SELECT cx, cy, e, height FROM ({S0})),
+            base1 AS (SELECT cx, cy, e, height FROM ({S1})),
+            coarse AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
+                       FROM base1 GROUP BY 1, 2, 3),
+            hit AS (SELECT c.* FROM coarse c WHERE EXISTS
+                     (SELECT 1 FROM fine f WHERE (f.cx >> 1) = c.cx AND (f.cy >> 1) = c.cy)),
+            clear AS (SELECT c.* FROM coarse c WHERE NOT EXISTS
+                     (SELECT 1 FROM fine f WHERE (f.cx >> 1) = c.cx AND (f.cy >> 1) = c.cy)),
+            frag AS (
+                SELECT c.cx * 2 + (q.q % 2) AS cx, c.cy * 2 + (q.q >> 1) AS cy,
+                       CAST(0 AS BIGINT) AS e, c.height
+                FROM hit c, (VALUES (0), (1), (2), (3)) q(q)
+                WHERE NOT EXISTS (SELECT 1 FROM fine f
+                                  WHERE f.cx = c.cx * 2 + (q.q % 2) AND f.cy = c.cy * 2 + (q.q >> 1))
+            )
+            SELECT cx, cy, e, round(height, 6) AS height FROM fine
+            UNION ALL SELECT cx, cy, e, round(height, 6) FROM clear
+            UNION ALL SELECT cx, cy, e, round(height, 6) FROM frag
+        """,
+"merge_blocks_mixed": f"""
             WITH fine AS (SELECT cx, cy, e, height FROM ({S0})),
             base1 AS (SELECT cx, cy, e, height FROM ({S1})),
             coarse AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height

@@ -296,10 +296,23 @@ def merge_blocks(
     return j.select(*out)
 
 
+def _stack(series: pd.Series, dtype) -> np.ndarray:
+    """Column of equal-length array cells -> one (n, w*w) 2-D array.
+    One C-level copy; the batched alternative to per-row ``.tolist()``."""
+    return np.stack(series.to_list()).astype(dtype, copy=False)
+
+
 def _merge_blocks_kernel(j: DataFrame, layers, int_layers, win_first: bool) -> DataFrame:
     """Winner selection as a vectorized numpy kernel over the joined rows
     (see :func:`merge_blocks` engine='kernel'). Partition-local — adds no
-    Exchange to the join plan."""
+    Exchange to the join plan.
+
+    Batched: rows of an Arrow batch are split three ways (only-a, only-b,
+    both-sided), each group's array cells stacked into ONE (n, w*w) 2-D
+    array, and every winner decision is a single ``np.where`` per layer per
+    batch — no per-row Python loop. (The loop variant paid ~per-row fixed
+    cost that dominated at small block widths: bits=4 -> 256-cell arrays.)
+    """
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
@@ -309,54 +322,317 @@ def _merge_blocks_kernel(j: DataFrame, layers, int_layers, win_first: bool) -> D
         else:
             fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
+    names = [f.split(" ")[0] for f in fields]
+
+    def _one_sided(g: pd.DataFrame, tag: str) -> pd.DataFrame:
+        occ = _stack(g[f"_occ_{tag}"], bool)
+        out = {
+            "bx": g["bx"].to_numpy(np.int64), "by": g["by"].to_numpy(np.int64),
+            "e": g["e"].to_numpy(np.int64), "w": g[f"_w_{tag}"].to_numpy(np.int64),
+            "n_samples": occ.sum(axis=1), "occ": list(occ),
+        }
+        for n in layers:
+            out[n] = g[f"_{tag}_{n}"].to_list()
+            if n in int_layers:
+                out[f"{n}_mask"] = g[f"_{tag}_{n}_mask"].to_list()
+        return pd.DataFrame(out)
+
+    def _two_sided(g: pd.DataFrame) -> pd.DataFrame:
+        a = _stack(g["_occ_a"], bool)
+        b = _stack(g["_occ_b"], bool)
+        # win marks cells where the DOMINANT side is present: its value wins
+        # there, the other side fills the rest
+        win = a if win_first else b
+        occ = a | b
+        out = {
+            "bx": g["bx"].to_numpy(np.int64), "by": g["by"].to_numpy(np.int64),
+            "e": g["e"].to_numpy(np.int64), "w": g["_w_a"].to_numpy(np.int64),
+            "n_samples": occ.sum(axis=1), "occ": list(occ),
+        }
+        for n in layers:
+            dt = np.int64 if n in int_layers else np.float64
+            va, vb = _stack(g[f"_a_{n}"], dt), _stack(g[f"_b_{n}"], dt)
+            wv, lv = (va, vb) if win_first else (vb, va)
+            out[n] = list(np.where(win, wv, lv))
+            if n in int_layers:
+                ma = _stack(g[f"_a_{n}_mask"], bool)
+                mb = _stack(g[f"_b_{n}_mask"], bool)
+                wm, lm = (ma, mb) if win_first else (mb, ma)
+                out[f"{n}_mask"] = list(np.where(win, wm, lm))
+        return pd.DataFrame(out)
 
     def _merge(iterator):
         for pdf in iterator:
-            out: list[dict] = []
-            # direct column access: itertuples would mangle the _-prefixed
-            # side-column names into positional fields
-            col = {c: pdf[c].tolist() for c in pdf.columns}
-            for i in range(len(pdf)):
-                occ_a, occ_b = col["_occ_a"][i], col["_occ_b"][i]
-                one_sided = "b" if occ_a is None else ("a" if occ_b is None else None)
-                r: dict = {
-                    "bx": int(col["bx"][i]), "by": int(col["by"][i]), "e": int(col["e"][i]),
-                    "w": int(col["_w_b"][i] if one_sided == "b" else col["_w_a"][i]),
-                }
-                if one_sided:
-                    occ = np.asarray(occ_b if one_sided == "b" else occ_a, dtype=bool)
-                    r["occ"] = occ.tolist()
-                    for n in layers:
-                        r[n] = list(col[f"_{one_sided}_{n}"][i])
-                        if n in int_layers:
-                            r[f"{n}_mask"] = list(col[f"_{one_sided}_{n}_mask"][i])
-                else:
-                    a = np.asarray(occ_a, dtype=bool)
-                    b = np.asarray(occ_b, dtype=bool)
-                    win = a if win_first else b
-                    occ = a | b
-                    r["occ"] = occ.tolist()
-                    for n in layers:
-                        dt = np.int64 if n in int_layers else np.float64
-                        va = np.asarray(col[f"_a_{n}"][i], dtype=dt)
-                        vb = np.asarray(col[f"_b_{n}"][i], dtype=dt)
-                        # win marks cells where the DOMINANT side is present:
-                        # its value wins there, the other side fills the rest
-                        wv, lv = (va, vb) if win_first else (vb, va)
-                        r[n] = np.where(win, wv, lv).tolist()
-                        if n in int_layers:
-                            ma = np.asarray(col[f"_a_{n}_mask"][i], dtype=bool)
-                            mb = np.asarray(col[f"_b_{n}_mask"][i], dtype=bool)
-                            wm, lm = (ma, mb) if win_first else (mb, ma)
-                            r[f"{n}_mask"] = np.where(win, wm, lm).tolist()
-                r["n_samples"] = int(occ.sum())
-                out.append(r)
-            if out:
-                yield pd.DataFrame(out)
-            else:
-                yield pd.DataFrame({f.split(" ")[0]: [] for f in fields})
+            if not len(pdf):
+                continue
+            a_null = pdf["_occ_a"].isna()
+            b_null = pdf["_occ_b"].isna()
+            parts: list[pd.DataFrame] = []
+            # stacking needs equal array lengths -> sub-group by block width
+            # (uniform in practice; mixed widths only on heterogeneous input)
+            oa = pdf[b_null]
+            if len(oa):
+                parts += [_one_sided(g, "a") for _, g in oa.groupby("_w_a", sort=False)]
+            ob = pdf[a_null]
+            if len(ob):
+                parts += [_one_sided(g, "b") for _, g in ob.groupby("_w_b", sort=False)]
+            ts = pdf[~a_null & ~b_null]
+            if len(ts):
+                parts += [_two_sided(g) for _, g in ts.groupby("_w_a", sort=False)]
+            if parts:
+                yield pd.concat(parts, ignore_index=True)[names]
 
     return j.mapInPandas(_merge, out_schema)
+
+
+def merge_blocks_mixed(
+    first: DataFrame,
+    second: DataFrame,
+    dominance: "Dominance | str" = "first",
+    layers: list[str] | None = None,
+    first_exponents: list[int] | None = None,
+    second_exponents: list[int] | None = None,
+    max_span_bits: int = 12,
+) -> DataFrame:
+    """CROSS-EXPONENT dominance merge on the block path — closes the last
+    fallback from the scale engine to the per-cell hash-agg merge.
+
+    Semantics == ``merge.merge_samples`` (Query.fs:79-338 fragment
+    machinery) row-for-row: winner samples pass through WHOLE at their
+    original exponents; dominated samples fully covered by a beater drop;
+    partially covered ones fragment into the maximal quadtree decomposition
+    of their uncovered region, valued from the coarse parent
+    (Query.fs:134-168 SubCellsSelected + the parent-fallback read,
+    Query.fs:64-73). ``unpack_blocks`` of the result therefore equals the
+    ``merge_samples`` row set exactly (differential-tested for all four
+    dominances at multiple exponent deltas).
+
+    Distributed shape: every cross-side interaction is confined to one
+    shared ancestor block on the coarsest grid (cells nest, so two
+    overlapping cells share their e_max-level block), so ONE repartition on
+    the anchor key ``(bx >> (e_max - e), by >> (e_max - e))`` co-locates
+    everything a kernel call needs — no join, no per-cell keys. In-kernel,
+    each anchor group resolves at its LOCAL exponent span: the coarse
+    side's cells supersample onto the fine grid via ``np.repeat`` (exactly
+    Layer.fs:210-241 supersampling), per-cell winners come from one
+    vectorized dominance comparison, and the minimal output rows are
+    reconstructed bottom-up (a cell coarsens iff all four children survive
+    from the SAME source sample — guaranteed by aligned-extent nesting —
+    so a per-level ``reshape(...).all`` + min-source-exponent gate emits
+    exactly the reference's fragment set). Anchors touched by only one
+    side pass their blocks through untouched.
+
+    Memory: a kernel sub-problem allocates ``O(4^(bits + span))`` cells
+    per layer per side, span = local max - min exponent; guarded by
+    ``max_span_bits`` (default 12 -> 4096^2 fine cells). Wider spans
+    should merge in exponent-band stages or fall back to
+    ``merge_samples``.
+
+    ``first_exponents``/``second_exponents`` hints skip the two
+    block-key discovery scans (trusted, like ``merge_samples`` hints).
+    Same-exponent inputs degenerate to :func:`merge_blocks` (which keeps
+    the Exchange-free bucketed-join plan).
+    """
+    from .merge import Dominance
+
+    dominance = Dominance(dominance)
+    if layers is None:
+        layers, _ = _block_layers(first)
+    int_layers = {n for n, t in first.dtypes if t == "array<bigint>" and n in layers}
+
+    if first_exponents is not None and second_exponents is not None:
+        e1 = {int(x) for x in first_exponents}
+        e2 = {int(x) for x in second_exponents}
+    else:
+        e1 = {r[0] for r in first.select("e").distinct().collect()}
+        e2 = {r[0] for r in second.select("e").distinct().collect()}
+    all_e = e1 | e2
+    if len(all_e) <= 1:
+        return merge_blocks(first, second, dominance, layers)
+    e_max = max(all_e)
+
+    data_cols = ["occ", *[
+        c for n in layers for c in ((n, f"{n}_mask") if n in int_layers else (n,))
+    ]]
+
+    def _tag(df: DataFrame, src: int) -> DataFrame:
+        return df.select(
+            F.expr(f"shiftright(bx, {e_max} - e)").alias("abx"),
+            F.expr(f"shiftright(`by`, {e_max} - e)").alias("aby"),
+            "bx", "by", F.col("e").cast("int").alias("e"),
+            F.col("w").cast("int").alias("w"),
+            F.lit(src).alias("src"), *data_cols,
+        )
+
+    u = _tag(first, 1).unionByName(_tag(second, 2))
+
+    fields = ["bx long", "by long", "e int", "w int", "n_samples long",
+              "occ array<boolean>"]
+    for n in layers:
+        if n in int_layers:
+            fields.append(f"{n} array<long>")
+            fields.append(f"{n}_mask array<boolean>")
+        else:
+            fields.append(f"{n} array<double>")
+    out_schema = ", ".join(fields)
+    names = [f.split(" ")[0] for f in fields]
+    dom_val = dominance.value
+
+    def _passthrough(g: pd.DataFrame, out: dict) -> None:
+        for _, row in g.iterrows():
+            occ = np.asarray(row["occ"], dtype=bool)
+            out["bx"].append(int(row["bx"]))
+            out["by"].append(int(row["by"]))
+            out["e"].append(int(row["e"]))
+            out["w"].append(int(row["w"]))
+            out["n_samples"].append(int(occ.sum()))
+            out["occ"].append(occ)
+            for c in data_cols[1:]:
+                out[c].append(row[c])
+
+    def _expand(a: np.ndarray, s: int) -> np.ndarray:
+        return np.repeat(np.repeat(a, s, axis=0), s, axis=1) if s > 1 else a
+
+    def _resolve(g: pd.DataFrame, sbx: int, sby: int, e_top: int, out: dict) -> None:
+        w = int(g["w"].iloc[0])
+        if (g["w"] != w).any():
+            raise ValueError("merge_blocks_mixed: mixed block widths in one anchor")
+        bits = w.bit_length() - 1
+        e_lo = int(g["e"].min())
+        span = e_top - e_lo
+        if bits + span > max_span_bits:
+            raise ValueError(
+                f"merge_blocks_mixed: local span {span} at block bits {bits} "
+                f"exceeds max_span_bits={max_span_bits}; merge in exponent "
+                "bands or use merge_samples"
+            )
+        W = w << span
+        X0, Y0 = sbx * W, sby * W
+
+        pres = {s: np.zeros((W, W), dtype=bool) for s in (1, 2)}
+        srce = {s: np.full((W, W), -127, dtype=np.int16) for s in (1, 2)}
+        vals = {
+            s: {n: np.zeros((W, W), dtype=(np.int64 if n in int_layers else np.float64))
+                for n in layers}
+            for s in (1, 2)
+        }
+        defs = {s: {n: np.zeros((W, W), dtype=bool) for n in layers} for s in (1, 2)}
+
+        for _, row in g.iterrows():
+            sd, e = int(row["src"]), int(row["e"])
+            sc = 1 << (e - e_lo)
+            ox = (int(row["bx"]) * w << (e - e_lo)) - X0
+            oy = (int(row["by"]) * w << (e - e_lo)) - Y0
+            sl = (slice(oy, oy + w * sc), slice(ox, ox + w * sc))
+            occ = _expand(np.asarray(row["occ"], dtype=bool).reshape(w, w), sc)
+            pres[sd][sl] |= occ
+            srce[sd][sl][occ] = e
+            for n in layers:
+                if n in int_layers:
+                    v = np.asarray(row[n], dtype=np.int64).reshape(w, w)
+                    m = np.asarray(row[f"{n}_mask"], dtype=bool).reshape(w, w)
+                else:
+                    v = np.asarray(row[n], dtype=np.float64).reshape(w, w)
+                    m = ~np.isnan(v)
+                vf, mf = _expand(v, sc), _expand(m, sc) & occ
+                vals[sd][n][sl][mf] = vf[mf]
+                defs[sd][n][sl] |= mf
+
+        both = pres[1] & pres[2]
+        if dom_val == "first":
+            a_wins = np.ones((W, W), dtype=bool)
+        elif dom_val == "second":
+            a_wins = np.zeros((W, W), dtype=bool)
+        elif dom_val == "more_detailed_or_first":
+            a_wins = srce[1] <= srce[2]
+        else:  # more_detailed_or_second
+            a_wins = srce[1] < srce[2]
+        keep = {
+            1: pres[1] & (~pres[2] | a_wins),
+            2: pres[2] & (~pres[1] | ~a_wins),
+        }
+
+        # bottom-up: full[j] marks level-(e_lo+j) cells whose whole subtree
+        # survives AND originates from one source sample (min src_e gate —
+        # aligned extents make "min src_e >= level" equivalent to "single
+        # sample", so passthrough cells re-emerge at their original
+        # exponent, never coarser)
+        emit: dict[int, dict[int, np.ndarray]] = {1: {}, 2: {}}
+        for sd in (1, 2):
+            full_lv = [keep[sd]]
+            minsrc = srce[sd]
+            for j in range(1, span + 1):
+                G = W >> j
+                f = full_lv[j - 1].reshape(G, 2, G, 2).all(axis=(1, 3))
+                minsrc = minsrc.reshape(G, 2, G, 2).min(axis=(1, 3))
+                full_lv.append(f & (minsrc >= e_lo + j))
+            for j in range(span + 1):
+                e_mask = full_lv[j]
+                if j < span:
+                    e_mask = e_mask & ~_expand(full_lv[j + 1], 2)
+                emit[sd][j] = e_mask
+
+        for j in range(span + 1):
+            ea, eb = emit[1][j], emit[2][j]
+            E = ea | eb
+            if not E.any():
+                continue
+            sc = 1 << j
+            nb = 1 << (span - j)
+            # corner-sample views: values are uniform under an emitted cell
+            # (single source sample), so the fine-grid corner is the value
+            va = {n: vals[1][n][::sc, ::sc] for n in layers}
+            vb = {n: vals[2][n][::sc, ::sc] for n in layers}
+            da = {n: defs[1][n][::sc, ::sc] for n in layers}
+            db = {n: defs[2][n][::sc, ::sc] for n in layers}
+            tiles = E.reshape(nb, w, nb, w).any(axis=(1, 3))
+            for yi, xi in np.argwhere(tiles):
+                sl = (slice(yi * w, (yi + 1) * w), slice(xi * w, (xi + 1) * w))
+                ta, tb = ea[sl], eb[sl]
+                occ = ta | tb
+                out["bx"].append(sbx * nb + int(xi))
+                out["by"].append(sby * nb + int(yi))
+                out["e"].append(e_lo + j)
+                out["w"].append(w)
+                out["n_samples"].append(int(occ.sum()))
+                out["occ"].append(occ.ravel())
+                for n in layers:
+                    v = np.where(ta, va[n][sl], vb[n][sl])
+                    d = np.where(ta, da[n][sl], db[n][sl]) & occ
+                    if n in int_layers:
+                        out[n].append(np.where(d, v, 0).ravel())
+                        out[f"{n}_mask"].append(d.ravel())
+                    else:
+                        out[n].append(np.where(d, v, np.nan).ravel())
+
+    def _kernel(iterator):
+        batches = list(iterator)
+        if not batches:
+            return
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        if not len(pdf):
+            return
+        out: dict[str, list] = {n: [] for n in names}
+        for _, g in pdf.groupby(["abx", "aby"], sort=False):
+            if g["src"].nunique() == 1:
+                _passthrough(g, out)
+                continue
+            # confine work to the LOCAL exponent span: interactions stay
+            # within shared ancestor blocks at the group's own max exponent
+            e_top = int(g["e"].max())
+            sub = g.assign(
+                _sbx=np.right_shift(g["bx"].to_numpy(np.int64), (e_top - g["e"]).to_numpy(np.int64)),
+                _sby=np.right_shift(g["by"].to_numpy(np.int64), (e_top - g["e"]).to_numpy(np.int64)),
+            )
+            for (sbx, sby), sg in sub.groupby(["_sbx", "_sby"], sort=False):
+                if sg["src"].nunique() == 1:
+                    _passthrough(sg, out)
+                else:
+                    _resolve(sg, int(sbx), int(sby), e_top, out)
+        if out["bx"]:
+            yield pd.DataFrame(out)
+
+    return u.repartition("abx", "aby").mapInPandas(_kernel, out_schema)
 
 
 def save_blocks_bucketed(

@@ -104,6 +104,68 @@ def test_polygon_blocks_parity(spark):
     assert n == exp.count()
 
 
+@pytest.mark.parametrize("dom", [d.value for d in Dominance])
+@pytest.mark.parametrize("delta", [1, 2])
+def test_merge_blocks_mixed_matches_merge_samples(spark, dom, delta):
+    """Cross-exponent block merge == merge_samples row-for-row: passthrough
+    rows at original exponents, fragments as the minimal quadtree
+    decomposition valued from the coarse parent."""
+    fine = _mk(spark, 11)
+    coarse = _mk(spark, 12, n=150, span=20).withColumn("e", F.lit(delta).cast("int"))
+    exp = merge_samples(
+        coarse, fine, dom, layers=["height", "n"],
+        first_exponents=[delta], second_exponents=[0],
+    )
+    m = B.merge_blocks_mixed(
+        B.pack_blocks(coarse, 3), B.pack_blocks(fine, 3), dom,
+        first_exponents=[delta], second_exponents=[0],
+    )
+    got = B.unpack_blocks(m, layer_types={"height": "double", "n": "bigint"})
+    assert _cells(got) == _cells(exp)
+
+
+def test_merge_blocks_mixed_multi_exponent_sides(spark):
+    """Each side may itself hold several exponents (internally
+    non-overlapping); the anchor kernel must resolve all pairings."""
+    # side A: coarse e2 cells on the left half, fine e0 cells far right
+    a0 = _mk(spark, 21, n=80, span=16).filter("cx >= 24")
+    a2 = _mk(spark, 22, n=80, span=8).withColumn("e", F.lit(2).cast("int")).filter("cx < 2")
+    a = a0.unionByName(a2)
+    # side B: e1 cells across the middle
+    b1 = _mk(spark, 23, n=120, span=24).withColumn("e", F.lit(1).cast("int"))
+    exp = merge_samples(
+        a, b1, "more_detailed_or_second", layers=["height", "n"],
+        first_exponents=[0, 2], second_exponents=[1],
+    )
+    m = B.merge_blocks_mixed(
+        B.pack_blocks(a, 3), B.pack_blocks(b1, 3), "more_detailed_or_second",
+        first_exponents=[0, 2], second_exponents=[1],
+    )
+    got = B.unpack_blocks(m, layer_types={"height": "double", "n": "bigint"})
+    assert _cells(got) == _cells(exp)
+
+
+def test_merge_blocks_mixed_same_exponent_degenerates(spark):
+    """Equal exponent sets route to the same-exponent merge_blocks plan."""
+    a = B.pack_blocks(_mk(spark, 31), 3)
+    b = B.pack_blocks(_mk(spark, 32), 3)
+    m = B.merge_blocks_mixed(a, b, "first", first_exponents=[0], second_exponents=[0])
+    d = B.merge_blocks(a, b, "first")
+    assert _cells(B.unpack_blocks(m)) == _cells(B.unpack_blocks(d))
+
+
+def test_merge_blocks_mixed_span_guard(spark):
+    """A local exponent span past max_span_bits fails loudly, not by OOM."""
+    fine = _mk(spark, 41, n=20, span=8)
+    coarse = _mk(spark, 42, n=20, span=8).withColumn("e", F.lit(6).cast("int"))
+    m = B.merge_blocks_mixed(
+        B.pack_blocks(coarse, 3), B.pack_blocks(fine, 3), "first",
+        first_exponents=[6], second_exponents=[0], max_span_bits=5,
+    )
+    with pytest.raises(Exception, match="max_span_bits"):
+        m.collect()
+
+
 def test_polygon_blocks_parity_rel_zero_boundary(spark):
     """rel=(0,0) puts sample positions on cell MIN corners: a cell whose
     position lies exactly on the polygon bbox max can sit on a block's min
