@@ -536,8 +536,15 @@ def knn_join(
     r * side`` — the same inscribed-circle guarantee as :func:`knn`) are
     done; the rest re-enter with doubled radius. The driver loop is over
     RADII (<= log2(max_rings) rounds, one count per round) — never over
-    probes. Stragglers past ``max_rings`` (probes in empty regions) finish
-    with one broadcast top-k sweep.
+    probes. Stragglers past ``max_rings`` (probes in empty regions)
+    escalate to geometrically COARSER ring cells at a fixed small cell
+    radius — every escalated round is still a ring-keyed equi-join (never
+    a cross join), and the loop provably terminates at the first round
+    whose ring square covers the whole data bounding box for every
+    remaining probe: that covering round IS the exact global top-k for the
+    stragglers (it also handles a table with fewer than k samples). A
+    probe set concentrated in empty space therefore costs
+    O(log(distance)) pruned joins, not a cartesian scan per probe.
 
     Returns (pid, px, py, cx, cy, e, <layers...>, dist), exactly k rows per
     probe (fewer iff the whole table has < k samples); tie-break
@@ -551,9 +558,6 @@ def knn_join(
 
     cx_center = C.sample_pos(F.col("cx"), F.col("e"), 0.5)
     cy_center = C.sample_pos(F.col("cy"), F.col("e"), 0.5)
-    s = samples.withColumn("_rcx", F.floor(cx_center / F.lit(side)).cast("long")).withColumn(
-        "_rcy", F.floor(cy_center / F.lit(side)).cast("long")
-    )
 
     dist = F.sqrt(
         (cx_center - F.col("px")) * (cx_center - F.col("px"))
@@ -562,15 +566,21 @@ def knn_join(
     w = W.partitionBy("pid").orderBy(F.col("dist").asc(), F.col("cx"), F.col("cy"))
     out_cols = ["pid", "px", "py", *[c for c in samples.columns], "dist"]
 
-    unresolved = positions.select(
-        "pid", "px", "py",
-        F.floor(F.col("px") / F.lit(side)).cast("long").alias("_pcx"),
-        F.floor(F.col("py") / F.lit(side)).cast("long").alias("_pcy"),
-    )
-    resolved_parts: list[DataFrame] = []
-    r = 1
-    while r <= max_rings:
-        ring = unresolved.select(
+    def _round(unresolved, cur_side: float, r: int, covering: bool):
+        """One ring-keyed equi-join round at cell size ``cur_side``, cell
+        radius ``r``. The probe's ring covers the Chebyshev ball of radius
+        ``r * cur_side`` around it, so ``dist_k <= r * cur_side`` certifies
+        the top-k; ``covering=True`` means the ring contains the whole data
+        bbox and every remaining probe resolves unconditionally."""
+        s = samples.withColumn(
+            "_rcx", F.floor(cx_center / F.lit(cur_side)).cast("long")
+        ).withColumn("_rcy", F.floor(cy_center / F.lit(cur_side)).cast("long"))
+        u = unresolved.select(
+            "pid", "px", "py",
+            F.floor(F.col("px") / F.lit(cur_side)).cast("long").alias("_pcx"),
+            F.floor(F.col("py") / F.lit(cur_side)).cast("long").alias("_pcy"),
+        )
+        ring = u.select(
             "*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("_dx")
         ).select("*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("_dy"))
         cand = ring.join(
@@ -588,25 +598,61 @@ def knn_join(
         # plan cut: each round's result feeds BOTH the output accumulation
         # and the next round's anti-join (see boundary.py for the contract)
         topk = _bnd.cut(topk)
-        done = topk.filter((F.col("_nc") >= k) & (F.col("_kth") <= F.lit(float(r) * side)))
-        resolved_parts.append(done.select(*out_cols))
-        unresolved = unresolved.join(
-            done.select("pid").distinct(), "pid", "left_anti"
+        if covering:
+            return topk
+        return topk.filter(
+            (F.col("_nc") >= k) & (F.col("_kth") <= F.lit(float(r) * cur_side))
         )
+
+    unresolved = positions.select("pid", "px", "py")
+    resolved_parts: list[DataFrame] = []
+    r = 1
+    while r <= max_rings:
+        done = _round(unresolved, side, r, covering=False)
+        resolved_parts.append(done.select(*out_cols))
+        unresolved = unresolved.join(done.select("pid").distinct(), "pid", "left_anti")
         if unresolved.limit(1).count() == 0:
             unresolved = None
             break
         r *= 2
     if unresolved is not None:
-        # stragglers: one broadcast sweep, exact global top-k per probe
-        swept = (
-            s.drop("_rcx", "_rcy")
-            .join(F.broadcast(unresolved.select("pid", "px", "py")))
-            .withColumn("dist", dist)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-        )
-        resolved_parts.append(swept.select(*out_cols))
+        # straggler escalation: coarser cells, fixed small cell radius —
+        # world radius doubles per round at O(25) ring cells per probe.
+        # Terminates at the covering round: ring ⊇ data bbox for every
+        # remaining probe ⇒ the round's candidates are ALL samples' cells,
+        # i.e. an exact global top-k (also correct when the table holds
+        # fewer than k samples).
+        bbox = samples.agg(
+            F.min(cx_center).alias("x0"), F.max(cx_center).alias("x1"),
+            F.min(cy_center).alias("y0"), F.max(cy_center).alias("y1"),
+        ).collect()[0]
+        if bbox["x0"] is None:
+            out = resolved_parts[0]
+            for p in resolved_parts[1:]:
+                out = out.unionByName(p)
+            return out  # empty table: base rounds already produced nothing
+        # farthest remaining probe's Chebyshev distance to the bbox
+        needed = unresolved.agg(
+            F.max(
+                F.greatest(
+                    F.abs(F.col("px") - F.lit(float(bbox["x0"]))),
+                    F.abs(F.col("px") - F.lit(float(bbox["x1"]))),
+                    F.abs(F.col("py") - F.lit(float(bbox["y0"]))),
+                    F.abs(F.col("py") - F.lit(float(bbox["y1"]))),
+                )
+            )
+        ).collect()[0][0]
+        r2, side2 = 2, side * 2.0
+        while True:
+            covering = (r2 * side2) >= float(needed)
+            done = _round(unresolved, side2, r2, covering=covering)
+            resolved_parts.append(done.select(*out_cols))
+            if covering:
+                break
+            unresolved = unresolved.join(done.select("pid").distinct(), "pid", "left_anti")
+            if unresolved.limit(1).count() == 0:
+                break
+            side2 *= 2.0
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
