@@ -75,6 +75,7 @@ def main() -> None:
         "pyramid_blocks": E.q_pyramid_blocks,
         "polygon_blocks": E.q_polygon_blocks,
         "merge_mixed_res": E.q_merge_mixed_res,
+        "merge_blocks_mixed": E.q_merge_blocks_mixed,
         "knn": E.q_knn,
         "knn_batch": E.q_knn_batch,
         "lod_cut": E.q_lod_cut,
@@ -87,21 +88,33 @@ def main() -> None:
         "multimodal_features": E.q_multimodal_features,
     }
 
-    # min of REPS per query: the host throttles sustained load in waves
-    # (BENCH/BASELINE.md findings 1/6); each rep rebuilds the DataFrame from
-    # fn() so lineage is fresh (no cross-rep shuffle reuse) and the minimum
-    # is a true least-interference measurement of the same work
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min over INTERLEAVED passes, each pass in a different (deterministic)
+    # query order: the host throttles sustained load in waves
+    # (BENCH/BASELINE.md findings 1/6), AND a query's time depends on what
+    # ran just before it (Python-worker/JVM JIT/GC state bleeds across
+    # queries — the round-3 bench recorded 2.7x "regressions" on unchanged
+    # code purely from suite-order effects; see BENCH/BASELINE.md round-4
+    # note). Consecutive same-query reps share that bias; rotating the
+    # order between passes gives each query different predecessors, so the
+    # per-query minimum approximates a least-interference fresh measurement.
+    # Each call rebuilds the DataFrame from fn() so lineage is fresh (no
+    # cross-rep shuffle reuse).
+    import random
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in workload.items():
-        best = None
-        for _ in range(reps):
+    names = list(workload)
+    for p in range(reps):
+        order = names[:]
+        random.Random(p).shuffle(order)
+        for name in order:
             t0 = time.perf_counter()
-            rows[name] = fn(spark, sf_dir).count()
+            rows[name] = workload[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    times = {n: round(t, 3) for n, t in times.items()}
 
     total = round(sum(times.values()), 3)
     total_rows = sum(rows.values())
