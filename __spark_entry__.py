@@ -39,9 +39,11 @@ from aardvark_geometry_quadtree_spark.operators.dedup import (
 from aardvark_geometry_quadtree_spark.operators.blocks import (
     inside_box_blocks,
     inside_polygon_blocks,
+    knn_join_blocks,
     merge_blocks,
     merge_blocks_mixed,
     pack_blocks,
+    sample_positions_blocks,
     pyramid_blocks,
     unpack_blocks,
 )
@@ -311,6 +313,35 @@ def q_merge_mixed_res(spark, sf_dir):
         second_exponents=[0],  # hint skips the exponent discovery job
     )
     return _r6(m.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
+
+
+def q_point_lookup_blocks(spark, sf_dir):
+    """J9 via the block path (operators/blocks.py sample_positions_blocks):
+    probes equi-join block rows by key and read the probed cell with JVM
+    element_at — no unpack explode. Same oracle as q_point_lookup."""
+    s = _doc_samples(spark, sf_dir)
+    pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
+    r = sample_positions_blocks(
+        pack_blocks(s, bits=4), pos, bits=4, exponents=[0],
+        layer_types={"height": "double", "n_docs": "bigint"},
+    )
+    return _r6(r.select("pid", "cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"), "height")
+
+
+def q_knn_batch_blocks(spark, sf_dir):
+    """J9+ batched kNN over the BLOCK staging table: ring-keyed join at
+    block granularity, unpacking only matched blocks per round. Same
+    oracle as q_knn_batch."""
+    s = _doc_samples(spark, sf_dir).drop("n_docs")
+    pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
+    r = knn_join_blocks(
+        pack_blocks(s, bits=4), pos, k=10, bits=4,
+        layer_types={"height": "double"},
+    )
+    return _r6(
+        r.select("pid", "cx", "cy", F.col("e").cast("long").alias("e"), "height", "dist"),
+        "height", "dist",
+    )
 
 
 def q_merge_blocks_mixed(spark, sf_dir):
@@ -593,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_blocks": q_box_blocks,
         "merge_mixed_res": q_merge_mixed_res,
         "merge_blocks_mixed": q_merge_blocks_mixed,
+        "point_lookup_blocks": q_point_lookup_blocks,
+        "knn_batch_blocks": q_knn_batch_blocks,
         "lod_cut": q_lod_cut,
         "ebb_stats": q_ebb_stats,
         "token_count": q_token_count,
@@ -734,6 +767,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.pid, s.cx, s.cy, s.e, round(s.height, 6) AS height, s.n_docs
             FROM p JOIN s ON s.cx = CAST(floor(p.px) AS BIGINT) AND s.cy = CAST(floor(p.py) AS BIGINT)
         """,
+"point_lookup_blocks": f"""
+            WITH s AS ({S}), p(pid, px, py) AS (VALUES {probes})
+            SELECT p.pid, s.cx, s.cy, s.e, round(s.height, 6) AS height, s.n_docs
+            FROM p JOIN s ON s.cx = CAST(floor(p.px) AS BIGINT) AND s.cy = CAST(floor(p.py) AS BIGINT)
+        """,
         "knn": f"""
             SELECT cx, cy, e, round(height, 6) AS height,
                    round(sqrt((cx + 0.5) * (cx + 0.5) + (cy + 0.5) * (cy + 0.5)), 6) AS dist
@@ -742,6 +780,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "knn_batch": f"""
+            WITH s AS ({S}), p(pid, px, py) AS (VALUES {probes}),
+            scored AS (
+                SELECT p.pid, s.cx, s.cy, s.e, s.height,
+                       sqrt(power(s.cx + 0.5 - p.px, 2) + power(s.cy + 0.5 - p.py, 2)) AS dist,
+                       row_number() OVER (
+                           PARTITION BY p.pid
+                           ORDER BY sqrt(power(s.cx + 0.5 - p.px, 2) + power(s.cy + 0.5 - p.py, 2)), s.cx, s.cy
+                       ) AS rn
+                FROM p CROSS JOIN s)
+            SELECT pid, cx, cy, e, round(height, 6) AS height, round(dist, 6) AS dist
+            FROM scored WHERE rn <= 10
+        """,
+"knn_batch_blocks": f"""
             WITH s AS ({S}), p(pid, px, py) AS (VALUES {probes}),
             scored AS (
                 SELECT p.pid, s.cx, s.cy, s.e, s.height,

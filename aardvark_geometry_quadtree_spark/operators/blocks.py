@@ -757,6 +757,255 @@ def _block_row(bx, by, e, w, occ, vals, defs, layers, int_layers) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# probe routing over blocks: point lookup / batched kNN without unpacking
+# ---------------------------------------------------------------------------
+
+def sample_positions_blocks(
+    blocks: DataFrame,
+    positions: DataFrame,
+    bits: int,
+    exponents: list[int] | None = None,
+    layers: list[str] | None = None,
+    layer_types: dict[str, str] | None = None,
+    broadcast_positions: bool = True,
+) -> DataFrame:
+    """Point lookup routed DIRECTLY to block rows — the block-path
+    equivalent of ``query.sample_positions`` (reference quadrant routing,
+    Query.fs:674-685), with identical output and finest-exponent-wins
+    semantics (Query.fs:689-739).
+
+    Per probe and exponent the containing cell's block key is computed
+    arithmetically, probes equi-join the block table on ``(bx, by, e)``
+    (broadcast by default), and the cell's occupancy + layer values are
+    read by JVM ``element_at`` at the in-block index — no ``unpack_blocks``
+    explode anywhere: a probe batch touches only the block rows it routes
+    to, at one array-index read per layer.
+
+    ``bits`` must be the pack width of ``blocks``. ``layer_types`` casts
+    values back to exact source types (store-manifest contract, as in
+    :func:`unpack_blocks`).
+    """
+    from pyspark.sql import Window as W
+
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in layers}
+    exps = (
+        sorted({int(x) for x in exponents})
+        if exponents is not None
+        else sorted(r[0] for r in blocks.select("e").distinct().collect())
+    )
+    w = 1 << bits
+
+    cand = None
+    for e in exps:
+        scale = float(2.0 ** e)
+        cx = F.floor(F.col("px") / F.lit(scale)).cast("long")
+        cy = F.floor(F.col("py") / F.lit(scale)).cast("long")
+        c = positions.select(
+            "pid", "px", "py",
+            cx.alias("cx"), cy.alias("cy"),
+            F.lit(e).cast("int").alias("e"),
+        ).select(
+            "*",
+            F.shiftright(F.col("cx"), bits).alias("bx"),
+            F.shiftright(F.col("cy"), bits).alias("by"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    if broadcast_positions:
+        cand = F.broadcast(cand)
+
+    j = blocks.join(cand, ["bx", "by", "e"], "inner")
+    # 1-based in-block index of the probed cell
+    idx = (
+        (F.col("cy") - F.col("by") * F.col("w")) * F.col("w")
+        + (F.col("cx") - F.col("bx") * F.col("w")) + F.lit(1)
+    ).cast("int")
+    hit = j.filter(F.element_at(F.col("occ"), idx))
+    cols = [F.col("pid"), F.col("px"), F.col("py"),
+            F.col("cx"), F.col("cy"), F.col("e")]
+    for n in layers:
+        v = F.element_at(F.col(n), idx)
+        if n in int_layers:
+            col = F.when(F.element_at(F.col(f"{n}_mask"), idx), v)
+        else:
+            col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+        if layer_types and n in layer_types:
+            col = col.cast(layer_types[n])
+        cols.append(col.alias(n))
+    out = hit.select(*cols)
+    win = W.partitionBy("pid").orderBy(F.col("e").asc())
+    return (
+        out.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def knn_join_blocks(
+    blocks: DataFrame,
+    positions: DataFrame,
+    k: int,
+    bits: int,
+    ring_exponent: int | None = None,
+    max_rings: int = 64,
+    layer_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Batched kNN over a BLOCK staging table — ``query.knn_join``
+    semantics (k nearest by cell-center distance per probe, tie-break
+    (dist, cx, cy)) without a standing per-sample table: each ring round
+    equi-joins probe ring cells to whole BLOCKS and unpacks only the
+    matched block rows (JVM posexplode of the round's candidates), so the
+    steady-state block staging feeds the probe path with a pruned scan
+    instead of a full ``unpack_blocks`` of the table.
+
+    Correctness inherits :func:`~.query.knn_join`'s inscribed-circle
+    guarantee: ``ring_exponent`` is clamped to at least ``max(e) + bits``
+    so every block lies entirely inside ONE ring cell (block world extent
+    divides the ring cell), making "all blocks in the probe's ring" a
+    superset of "all sample centers within radius r*side". Stragglers
+    escalate to geometrically coarser rings exactly like the sample path;
+    the covering round (ring ⊇ the block-extent bbox) is an exact global
+    top-k.
+    """
+    from pyspark.sql import Window as W
+
+    layers, _ = _block_layers(blocks)
+    e_max = blocks.agg(F.max("e")).collect()[0][0]
+    if e_max is None:
+        # empty table: k-nearest of nothing is nothing
+        empty = unpack_blocks(blocks, layers, layer_types)
+        return positions.select("pid", "px", "py").limit(0).join(
+            empty.withColumn("dist", F.lit(0.0)), how="cross"
+        )
+    min_re = int(e_max) + bits
+    ring_exponent = min_re if ring_exponent is None else max(int(ring_exponent), min_re)
+    side = 2.0 ** ring_exponent
+
+    cx_center = (F.col("cx").cast("double") + 0.5) * F.pow(F.lit(2.0), F.col("e").cast("double"))
+    cy_center = (F.col("cy").cast("double") + 0.5) * F.pow(F.lit(2.0), F.col("e").cast("double"))
+    dist = F.sqrt(
+        (cx_center - F.col("px")) * (cx_center - F.col("px"))
+        + (cy_center - F.col("py")) * (cy_center - F.col("py"))
+    )
+    w_ord = W.partitionBy("pid").orderBy(F.col("dist").asc(), F.col("cx"), F.col("cy"))
+    sample_cols = ["cx", "cy", "e", *layers]
+    out_cols = ["pid", "px", "py", *sample_cols, "dist"]
+
+    # block -> containing ring cell via the block's world min corner
+    def _keyed_blocks(cur_side: float) -> DataFrame:
+        bside = F.pow(F.lit(2.0), F.col("e").cast("double")) * F.col("w").cast("double")
+        return blocks.withColumn(
+            "_rcx", F.floor(F.col("bx").cast("double") * bside / F.lit(cur_side)).cast("long")
+        ).withColumn(
+            "_rcy", F.floor(F.col("by").cast("double") * bside / F.lit(cur_side)).cast("long")
+        )
+
+    def _round(unresolved, cur_side: float, r: int, covering: bool):
+        u = unresolved.select(
+            "pid", "px", "py",
+            F.floor(F.col("px") / F.lit(cur_side)).cast("long").alias("_pcx"),
+            F.floor(F.col("py") / F.lit(cur_side)).cast("long").alias("_pcy"),
+        )
+        ring = u.select(
+            "*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("_dx")
+        ).select("*", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("_dy"))
+        kb = _keyed_blocks(cur_side)
+        matched = ring.join(
+            kb,
+            (kb["_rcx"] == ring["_pcx"] + ring["_dx"])
+            & (kb["_rcy"] == ring["_pcy"] + ring["_dy"]),
+            "inner",
+        ).drop("_pcx", "_pcy", "_dx", "_dy", "_rcx", "_rcy")
+        # unpack ONLY the matched blocks: JVM posexplode over this round's
+        # candidates (probe context carried through)
+        zipped = [F.col("occ")]
+        int_l = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in layers}
+        for n in layers:
+            zipped.append(F.col(n))
+            if n in int_l:
+                zipped.append(F.col(f"{n}_mask"))
+        ex = matched.select(
+            "pid", "px", "py", "bx", "by", "e", "w",
+            F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
+        ).filter(F.col("z.occ"))
+        cells = [
+            (F.col("bx") * F.col("w") + F.pmod(F.col("pos"), F.col("w"))).cast("long").alias("cx"),
+            (F.col("by") * F.col("w") + (F.col("pos") / F.col("w")).cast("int")).cast("long").alias("cy"),
+            F.col("e"),
+        ]
+        for n in layers:
+            if n in int_l:
+                col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}"))
+            else:
+                v = F.col(f"z.{n}")
+                col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+            if layer_types and n in layer_types:
+                col = col.cast(layer_types[n])
+            cells.append(col.alias(n))
+        cand = ex.select("pid", "px", "py", *cells).withColumn("dist", dist)
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w_ord))
+            .filter(F.col("_rn") <= k)
+            .withColumn("_kth", F.max("dist").over(W.partitionBy("pid")))
+            .withColumn("_nc", F.count("*").over(W.partitionBy("pid")))
+        )
+        # plan cut between rounds (same contract as query.knn_join)
+        from .. import boundary as _bnd
+        topk = _bnd.cut(topk)
+        if covering:
+            return topk
+        return topk.filter(
+            (F.col("_nc") >= k) & (F.col("_kth") <= F.lit(float(r) * cur_side))
+        )
+
+    unresolved = positions.select("pid", "px", "py")
+    resolved_parts = []
+    r = 1
+    while r <= max_rings:
+        done = _round(unresolved, side, r, covering=False)
+        resolved_parts.append(done.select(*out_cols))
+        unresolved = unresolved.join(done.select("pid").distinct(), "pid", "left_anti")
+        if unresolved.limit(1).count() == 0:
+            unresolved = None
+            break
+        r *= 2
+    if unresolved is not None:
+        bside = F.pow(F.lit(2.0), F.col("e").cast("double")) * F.col("w").cast("double")
+        bbox = blocks.agg(
+            F.min(F.col("bx").cast("double") * bside).alias("x0"),
+            F.max((F.col("bx").cast("double") + 1) * bside).alias("x1"),
+            F.min(F.col("by").cast("double") * bside).alias("y0"),
+            F.max((F.col("by").cast("double") + 1) * bside).alias("y1"),
+        ).collect()[0]
+        needed = unresolved.agg(
+            F.max(
+                F.greatest(
+                    F.abs(F.col("px") - F.lit(float(bbox["x0"]))),
+                    F.abs(F.col("px") - F.lit(float(bbox["x1"]))),
+                    F.abs(F.col("py") - F.lit(float(bbox["y0"]))),
+                    F.abs(F.col("py") - F.lit(float(bbox["y1"]))),
+                )
+            )
+        ).collect()[0][0]
+        r2, side2 = 2, side * 2.0
+        while True:
+            covering = (r2 * side2) >= float(needed)
+            done = _round(unresolved, side2, r2, covering=covering)
+            resolved_parts.append(done.select(*out_cols))
+            if covering:
+                break
+            unresolved = unresolved.join(done.select("pid").distinct(), "pid", "left_anti")
+            if unresolved.limit(1).count() == 0:
+                break
+            side2 *= 2.0
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # queries over blocks (window / polygon), block-pruned + HOF per-cell tests
 # ---------------------------------------------------------------------------
 

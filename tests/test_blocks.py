@@ -252,3 +252,58 @@ def test_inside_box_blocks_parity(spark):
     got0 = _cells(B.inside_box_blocks(blk, 0.0, 0.0, 8.0, 8.0, rel=(0.0, 0.0)))
     exp0 = _cells(inside_box(s, 0.0, 0.0, 8.0, 8.0, rel=(0.0, 0.0)))
     assert got0 == exp0
+
+
+def test_sample_positions_blocks_parity(spark):
+    """Block-path point lookup == query.sample_positions, including
+    finest-exponent-wins across a mixed-exponent block table, with NO
+    row explosion in the plan (element_at indexing, not posexplode)."""
+    from aardvark_geometry_quadtree_spark.operators.query import sample_positions
+
+    s0 = _mk(spark, 51)
+    s1 = _mk(spark, 52, n=60, span=12).withColumn("e", F.lit(1).cast("int"))
+    s = s0.unionByName(s1)
+    pos = spark.createDataFrame(
+        [(0, 3.5, 4.5), (1, -9.2, 7.9), (2, 1000.0, 1000.0), (3, -0.4, -0.4)],
+        "pid long, px double, py double",
+    )
+    exp = sample_positions(s, pos, exponents=[0, 1])
+    blk = B.pack_blocks(s, bits=3)
+    got = B.sample_positions_blocks(
+        blk, pos, bits=3, exponents=[0, 1],
+        layer_types={"height": "double", "n": "bigint"},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan  # no posexplode anywhere
+    key = lambda df: {
+        r["pid"]: (r["cx"], r["cy"], r["e"], r["height"], r["n"]) for r in df.collect()
+    }
+    assert key(got) == key(exp)
+
+
+def test_knn_join_blocks_parity(spark):
+    """Batched kNN over blocks == knn_join over samples, including a
+    straggler probe in empty space (escalation path)."""
+    from aardvark_geometry_quadtree_spark.operators.query import knn_join
+
+    s = _mk(spark, 61)
+    pos = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 15.5, -12.5), (2, 4000.0, 4000.0)],
+        "pid long, px double, py double",
+    )
+    exp = knn_join(s, pos, k=5, ring_exponent=3, max_rings=4)
+    blk = B.pack_blocks(s, bits=3)
+    got = B.knn_join_blocks(
+        blk, pos, k=5, bits=3, ring_exponent=3, max_rings=4,
+        layer_types={"height": "double", "n": "bigint"},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    def key(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["pid"], []).append(
+                (round(r["dist"], 9), r["cx"], r["cy"], r["height"], r["n"])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+    assert key(got) == key(exp)
