@@ -53,6 +53,60 @@ from .build import _INT_BUFFER_TYPES, packable_layer_types
 _META_COLS = ("bx", "by", "e", "w", "n_samples", "occ")
 
 
+# ---------------------------------------------------------------------------
+# vector layers (Normals3f/3d, Colors3b/4b/3f/4f, Bilinear4*): fixed-width
+# multi-channel payloads packed as flat w*w*k cell-major buffers
+# ---------------------------------------------------------------------------
+
+class VectorSpec:
+    """Block-path spec of one fixed-width vector layer.
+
+    ``kind`` selects the downsample rule mirroring the registry semantics
+    (registry.py:36-67 / Sampling.fs:26-61):
+
+    - ``"float"``  — per-channel mean of defined children (colors-f,
+      bilinear params);
+    - ``"normal"`` — per-channel mean then re-normalize (Normals3f/3d);
+    - ``"intcolor"`` — per-channel integer mean with TRUNCATING division
+      (Colors3b/4b); packed as ``array<long>`` + per-CELL mask.
+    """
+
+    __slots__ = ("name", "channels", "kind")
+
+    def __init__(self, name: str, channels: int, kind: str = "float"):
+        if kind not in ("float", "normal", "intcolor"):
+            raise ValueError(f"VectorSpec: unknown kind '{kind}'")
+        self.name, self.channels, self.kind = name, int(channels), kind
+
+
+def resolve_vector_specs(layers: list[str]) -> dict[str, VectorSpec]:
+    """Vector specs for registered semantics whose payload is an array type
+    (registry.py SEMANTICS): channel count from the semantic name's digit,
+    kind from its family. Layers without an array-typed registry entry are
+    left out (treated as scalars)."""
+    import re
+
+    from ..registry import SEMANTICS
+
+    out: dict[str, VectorSpec] = {}
+    for n in layers:
+        sem = SEMANTICS.get(n)
+        if sem is None or not sem.spark_type.startswith("array<"):
+            continue
+        m = re.search(r"(\d)", n)
+        if not m:
+            raise ValueError(f"resolve_vector_specs: no channel digit in '{n}'")
+        k = int(m.group(1))
+        if n.startswith("Normals"):
+            kind = "normal"
+        elif sem.spark_type == "array<int>":
+            kind = "intcolor"
+        else:
+            kind = "float"
+        out[n] = VectorSpec(n, k, kind)
+    return out
+
+
 def _block_layers(blocks: DataFrame) -> tuple[list[str], set[str]]:
     """Infer (layer names, integer-family subset) from a block frame's
     schema: ``array<bigint>`` payloads are integer-family (they carry a
@@ -70,6 +124,7 @@ def pack_blocks(
     samples: DataFrame,
     bits: int,
     layers: list[str] | None = None,
+    vector_specs: dict[str, VectorSpec] | None = None,
 ) -> DataFrame:
     """Samples -> aligned blocks: one row per ``(cx >> bits, cy >> bits, e)``
     with row-major ``2^bits x 2^bits`` array payloads.
@@ -78,18 +133,34 @@ def pack_blocks(
     two independently packed crawls produce element-aligned arrays — the
     precondition :func:`merge_blocks` exploits. One shuffle (the groupBy),
     then a vectorized numpy scatter per block; no per-row Python.
+
+    Vector layers (``vector_specs``; defaults to
+    :func:`resolve_vector_specs` over registered semantics) pack as flat
+    ``w*w*channels`` CELL-MAJOR buffers (``i*k + ch``): float kinds as
+    ``array<double>`` with all-NaN cells for holes, ``intcolor`` as
+    ``array<long>`` plus a per-cell ``{name}_mask``.
     """
     layers = layers or [
         c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")
     ]
-    types = packable_layer_types(samples, layers)
-    int_layers = {n for n in layers if types[n] in _INT_BUFFER_TYPES}
+    if vector_specs is None:
+        vector_specs = resolve_vector_specs(layers)
+    scalar_layers = [n for n in layers if n not in vector_specs]
+    types = packable_layer_types(samples, scalar_layers)
+    int_layers = {n for n in scalar_layers if types[n] in _INT_BUFFER_TYPES}
     w = 1 << bits
 
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for name in layers:
-        if name in int_layers:
+        spec = vector_specs.get(name)
+        if spec is not None:
+            if spec.kind == "intcolor":
+                fields.append(f"{name} array<long>")
+                fields.append(f"{name}_mask array<boolean>")
+            else:
+                fields.append(f"{name} array<double>")
+        elif name in int_layers:
             fields.append(f"{name} array<long>")
             fields.append(f"{name}_mask array<boolean>")
         else:
@@ -138,7 +209,28 @@ def pack_blocks(
             out["occ"].append(occ.tolist())
             for name in layers:
                 defined = g[name].notna().to_numpy()
-                if name in int_layers:
+                spec = vector_specs.get(name)
+                if spec is not None:
+                    k = spec.channels
+                    pos = (idx[defined][:, None] * k + np.arange(k)).ravel()
+                    if len(idx[defined]):
+                        vv = np.stack(g[name][defined].to_list()).astype(
+                            np.int64 if spec.kind == "intcolor" else np.float64
+                        ).ravel()
+                    else:
+                        vv = np.empty(0)
+                    if spec.kind == "intcolor":
+                        buf = np.zeros(w * w * k, dtype=np.int64)
+                        buf[pos] = vv
+                        dmask = np.zeros(w * w, dtype=bool)
+                        dmask[idx[defined]] = True
+                        out[name].append(buf.tolist())
+                        out[f"{name}_mask"].append(dmask.tolist())
+                    else:
+                        buf = np.full(w * w * k, np.nan)
+                        buf[pos] = vv
+                        out[name].append(buf.tolist())
+                elif name in int_layers:
                     buf = np.zeros(w * w, dtype=np.int64)
                     buf[idx[defined]] = pd.to_numeric(g[name][defined]).to_numpy(np.int64)
                     dmask = np.zeros(w * w, dtype=bool)
@@ -158,20 +250,33 @@ def unpack_blocks(
     blocks: DataFrame,
     layers: list[str] | None = None,
     layer_types: dict[str, str] | None = None,
+    vector_specs: dict[str, VectorSpec] | None = None,
 ) -> DataFrame:
     """Blocks -> samples rows. JVM-side ``posexplode`` over zipped arrays —
     no Python; holes come back as canonical NULL; ``layer_types`` casts
-    layers back to their exact source types (store-manifest contract)."""
+    layers back to their exact source types (store-manifest contract).
+    Vector layers are re-cut from their flat cell-major buffers with
+    ``slice`` at the exploded position (registered semantics default to
+    their registry Spark type)."""
     if layers is None:
         layers, _ = _block_layers(blocks)
-    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>"}
+    if vector_specs is None:
+        vector_specs = resolve_vector_specs(layers)
+    scalar = [n for n in layers if n not in vector_specs]
+    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in scalar}
     zipped = [F.col("occ")]
-    for n in layers:
+    for n in scalar:
         zipped.append(F.col(n))
         if n in int_layers:
             zipped.append(F.col(f"{n}_mask"))
+    carry = []
+    for n in vector_specs:
+        if n in layers:
+            carry.append(n)
+            if vector_specs[n].kind == "intcolor":
+                carry.append(f"{n}_mask")
     df = blocks.select(
-        "bx", "by", "e", "w",
+        "bx", "by", "e", "w", *carry,
         F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
     ).filter(F.col("z.occ"))
     cols = [
@@ -179,14 +284,34 @@ def unpack_blocks(
         (F.col("by") * F.col("w") + (F.col("pos") / F.col("w")).cast("int")).cast("long").alias("cy"),
         F.col("e"),
     ]
+
+    def _default_vec_type(n: str) -> str | None:
+        from ..registry import SEMANTICS
+
+        sem = SEMANTICS.get(n)
+        return sem.spark_type if sem is not None else None
+
     for n in layers:
-        if n in int_layers:
-            col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}")).otherwise(F.lit(None))
+        spec = vector_specs.get(n)
+        if spec is not None:
+            k = spec.channels
+            arr = F.slice(F.col(n), F.col("pos") * k + 1, k)
+            if spec.kind == "intcolor":
+                col = F.when(F.element_at(F.col(f"{n}_mask"), F.col("pos") + 1), arr)
+            else:
+                first = F.element_at(F.col(n), F.col("pos") * k + 1)
+                col = F.when(first.isNull() | F.isnan(first), F.lit(None)).otherwise(arr)
+            t = (layer_types or {}).get(n) or _default_vec_type(n)
+            if t:
+                col = col.cast(t)
         else:
-            v = F.col(f"z.{n}")
-            col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
-        if layer_types and n in layer_types:
-            col = col.cast(layer_types[n])
+            if n in int_layers:
+                col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}")).otherwise(F.lit(None))
+            else:
+                v = F.col(f"z.{n}")
+                col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+            if layer_types and n in layer_types:
+                col = col.cast(layer_types[n])
         cols.append(col.alias(n))
     return df.select(*cols)
 
@@ -233,7 +358,14 @@ def merge_blocks(
     key = ["bx", "by", "e"]
     if layers is None:
         layers, _ = _block_layers(first)
-    int_layers = {n for n, t in first.dtypes if t == "array<bigint>" and n in layers}
+    vector_specs = {n: s for n, s in resolve_vector_specs(layers).items()}
+    int_layers = {
+        n for n, t in first.dtypes
+        if t == "array<bigint>" and n in layers and n not in vector_specs
+    }
+    masked = set(int_layers) | {
+        n for n, s in vector_specs.items() if s.kind == "intcolor"
+    }
 
     def side_cols(df: DataFrame, tag: str) -> DataFrame:
         cols = [F.col(k) for k in key]
@@ -241,15 +373,20 @@ def merge_blocks(
         cols.append(F.col("occ").alias(f"_occ_{tag}"))
         for n in layers:
             cols.append(F.col(n).alias(f"_{tag}_{n}"))
-            if n in int_layers:
+            if n in masked:
                 cols.append(F.col(f"{n}_mask").alias(f"_{tag}_{n}_mask"))
         return df.select(*cols)
 
     j = side_cols(first, "a").join(side_cols(second, "b"), key, "full_outer")
     if engine == "kernel":
-        return _merge_blocks_kernel(j, layers, int_layers, win_first)
+        return _merge_blocks_kernel(j, layers, int_layers, win_first, vector_specs)
     if engine != "sql":
         raise ValueError(f"merge_blocks: unknown engine '{engine}'")
+    if vector_specs:
+        raise ValueError(
+            "merge_blocks engine='sql' does not support vector layers "
+            f"({sorted(vector_specs)}); use engine='kernel'"
+        )
 
     only_a = F.col("_occ_b").isNull()
     only_b = F.col("_occ_a").isNull()
@@ -302,7 +439,10 @@ def _stack(series: pd.Series, dtype) -> np.ndarray:
     return np.stack(series.to_list()).astype(dtype, copy=False)
 
 
-def _merge_blocks_kernel(j: DataFrame, layers, int_layers, win_first: bool) -> DataFrame:
+def _merge_blocks_kernel(
+    j: DataFrame, layers, int_layers, win_first: bool,
+    vector_specs: dict[str, VectorSpec] | None = None,
+) -> DataFrame:
     """Winner selection as a vectorized numpy kernel over the joined rows
     (see :func:`merge_blocks` engine='kernel'). Partition-local — adds no
     Exchange to the join plan.
@@ -313,10 +453,15 @@ def _merge_blocks_kernel(j: DataFrame, layers, int_layers, win_first: bool) -> D
     batch — no per-row Python loop. (The loop variant paid ~per-row fixed
     cost that dominated at small block widths: bits=4 -> 256-cell arrays.)
     """
+    vector_specs = vector_specs or {}
+    masked = set(int_layers) | {
+        n for n, s in vector_specs.items() if s.kind == "intcolor"
+    }
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
-        if n in int_layers:
+        spec = vector_specs.get(n)
+        if (spec is not None and spec.kind == "intcolor") or n in int_layers:
             fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
         else:
@@ -333,7 +478,7 @@ def _merge_blocks_kernel(j: DataFrame, layers, int_layers, win_first: bool) -> D
         }
         for n in layers:
             out[n] = g[f"_{tag}_{n}"].to_list()
-            if n in int_layers:
+            if n in masked:
                 out[f"{n}_mask"] = g[f"_{tag}_{n}_mask"].to_list()
         return pd.DataFrame(out)
 
@@ -350,11 +495,15 @@ def _merge_blocks_kernel(j: DataFrame, layers, int_layers, win_first: bool) -> D
             "n_samples": occ.sum(axis=1), "occ": list(occ),
         }
         for n in layers:
-            dt = np.int64 if n in int_layers else np.float64
+            spec = vector_specs.get(n)
+            is_int = (spec is not None and spec.kind == "intcolor") or n in int_layers
+            dt = np.int64 if is_int else np.float64
             va, vb = _stack(g[f"_a_{n}"], dt), _stack(g[f"_b_{n}"], dt)
             wv, lv = (va, vb) if win_first else (vb, va)
-            out[n] = list(np.where(win, wv, lv))
-            if n in int_layers:
+            # vector buffers are w*w*k: expand the per-cell win mask by k
+            wmask = np.repeat(win, spec.channels, axis=1) if spec is not None else win
+            out[n] = list(np.where(wmask, wv, lv))
+            if n in masked:
                 ma = _stack(g[f"_a_{n}_mask"], bool)
                 mb = _stack(g[f"_b_{n}_mask"], bool)
                 wm, lm = (ma, mb) if win_first else (mb, ma)
@@ -658,6 +807,7 @@ def pyramid_blocks(
     levels: int,
     layers: list[str] | None = None,
     include_base: bool = False,
+    vector_specs: dict[str, VectorSpec] | None = None,
 ) -> DataFrame:
     """LoD pyramid computed BLOCK-LOCALLY — zero shuffle.
 
@@ -671,68 +821,96 @@ def pyramid_blocks(
     Per-type semantics match ``pyramid.downsample_once`` / Sampling.fs:18-74:
     float layers = mean of DEFINED children; integer layers = truncating
     (toward zero) division, mask = any child defined; occupancy = any child
-    present.
+    present. Vector layers (flat ``w*w*k`` buffers) roll up by kind:
+    per-channel mean (``float``), mean + re-normalize (``normal``,
+    Sampling.fs:35-39), per-channel truncating integer mean (``intcolor``,
+    Sampling.fs:50-61) — golden-matched against the registry resamplers.
     """
     if layers is None:
         layers, _ = _block_layers(blocks)
-    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in layers}
+    if vector_specs is None:
+        vector_specs = resolve_vector_specs(layers)
+    int_layers = {
+        n for n, t in blocks.dtypes
+        if t == "array<bigint>" and n in layers and n not in vector_specs
+    }
+    masked = set(int_layers) | {
+        n for n, s in vector_specs.items() if s.kind == "intcolor"
+    }
     in_cols = ["bx", "by", "e", "w", "occ", *[
-        c for n in layers for c in ((n, f"{n}_mask") if n in int_layers else (n,))
+        c for n in layers for c in ((n, f"{n}_mask") if n in masked else (n,))
     ]]
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
-        if n in int_layers:
+        if n in masked:
             fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
         else:
             fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
+    chans = {n: (vector_specs[n].channels if n in vector_specs else 1) for n in layers}
+    kinds = {n: (vector_specs[n].kind if n in vector_specs else None) for n in layers}
 
     def _pyr(iterator):
         for pdf in iterator:
             out: list[dict] = []
             for row in pdf.itertuples(index=False):
-                w = int(row.w)
+                rowd = dict(zip(pdf.columns, row))
+                w = int(rowd["w"])
                 if (w >> levels) < 1:
                     raise ValueError(
                         f"pyramid_blocks: {levels} levels exceeds log2(w={w}); "
                         "roll the remainder up with pyramid.build_pyramid"
                     )
-                occ = np.asarray(row.occ, dtype=bool)
+                occ = np.asarray(rowd["occ"], dtype=bool)
                 vals: dict[str, np.ndarray] = {}
                 defs: dict[str, np.ndarray] = {}
                 for n in layers:
-                    v = np.asarray(getattr(row, n), dtype=np.float64)
-                    if n in int_layers:
-                        d = np.asarray(getattr(row, f"{n}_mask"), dtype=bool)
+                    v = np.asarray(rowd[n], dtype=np.float64)
+                    if n in masked:
+                        d = np.asarray(rowd[f"{n}_mask"], dtype=bool)
+                    elif n in vector_specs:
+                        # float vector: a hole is an all-NaN cell; per-cell
+                        # defined mask from channel 0
+                        d = ~np.isnan(v.reshape(-1, chans[n])[:, 0])
                     else:
                         d = ~np.isnan(v)
-                        v = np.where(d, v, 0.0)
+                    v = np.where(np.repeat(d, chans[n]) if chans[n] > 1 else d, v, 0.0)
                     vals[n], defs[n] = v, d
                 if include_base:
-                    out.append(_block_row(row.bx, row.by, int(row.e), w, occ,
-                                           vals, defs, layers, int_layers))
+                    out.append(_block_row(rowd["bx"], rowd["by"], int(rowd["e"]), w, occ,
+                                           vals, defs, layers, masked, chans))
                 cw = w
                 for lvl in range(1, levels + 1):
                     pw = cw // 2
                     occ = occ.reshape(pw, 2, pw, 2).any(axis=(1, 3))
                     for n in layers:
-                        s = vals[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
+                        k = chans[n]
                         c = defs[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
                         d = c > 0
-                        with np.errstate(invalid="ignore", divide="ignore"):
-                            m = s / np.where(d, c, 1)
-                        if n in int_layers:
-                            m = np.fix(m)  # truncating division (F# int '/')
-                        vals[n] = np.where(d, m, 0.0)
-                        defs[n] = d
+                        if k == 1:
+                            sm = vals[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
+                            with np.errstate(invalid="ignore", divide="ignore"):
+                                m = sm / np.where(d, c, 1)
+                            if n in int_layers:
+                                m = np.fix(m)  # truncating division (F# int '/')
+                            vals[n] = np.where(d, m, 0.0).reshape(-1)
+                        else:
+                            sm = vals[n].reshape(pw, 2, pw, 2, k).sum(axis=(1, 3))
+                            with np.errstate(invalid="ignore", divide="ignore"):
+                                m = sm / np.where(d, c, 1)[..., None]
+                            if kinds[n] == "intcolor":
+                                m = np.fix(m)  # per-channel truncating mean
+                            elif kinds[n] == "normal":
+                                norm = np.sqrt((m * m).sum(axis=-1, keepdims=True))
+                                with np.errstate(invalid="ignore", divide="ignore"):
+                                    m = m / np.where(norm > 0, norm, 1.0)
+                            vals[n] = np.where(d[..., None], m, 0.0).reshape(-1)
+                        defs[n] = d.reshape(-1)
                     occ = occ.reshape(-1)
-                    for n in layers:
-                        vals[n] = vals[n].reshape(-1)
-                        defs[n] = defs[n].reshape(-1)
-                    out.append(_block_row(row.bx, row.by, int(row.e) + lvl, pw,
-                                           occ, vals, defs, layers, int_layers))
+                    out.append(_block_row(rowd["bx"], rowd["by"], int(rowd["e"]) + lvl, pw,
+                                           occ, vals, defs, layers, masked, chans))
                     cw = pw
             if out:
                 yield pd.DataFrame(out)
@@ -742,17 +920,19 @@ def pyramid_blocks(
     return blocks.select(*in_cols).mapInPandas(_pyr, out_schema)
 
 
-def _block_row(bx, by, e, w, occ, vals, defs, layers, int_layers) -> dict:
+def _block_row(bx, by, e, w, occ, vals, defs, layers, masked, chans=None) -> dict:
     row = {
         "bx": int(bx), "by": int(by), "e": int(e), "w": int(w),
         "n_samples": int(occ.sum()), "occ": occ.tolist(),
     }
     for n in layers:
-        if n in int_layers:
-            row[n] = vals[n].astype(np.int64).tolist()
+        k = (chans or {}).get(n, 1)
+        dmask = np.repeat(defs[n], k) if k > 1 else defs[n]
+        if n in masked:
+            row[n] = np.where(dmask, vals[n], 0).astype(np.int64).tolist()
             row[f"{n}_mask"] = defs[n].tolist()
         else:
-            row[n] = np.where(defs[n], vals[n], np.nan).tolist()
+            row[n] = np.where(dmask, vals[n], np.nan).tolist()
     return row
 
 
