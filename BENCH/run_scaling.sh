@@ -82,11 +82,19 @@ def steady(r):
     p = r.get("phases", {})
     return p.get("merge", 0) + p.get("pyramid", 0) + p.get("polygon", 0)
 
+def phase_eff(lo_r, hi_r, name):
+    a = lo_r.get("phases", {}).get(name)
+    b = hi_r.get("phases", {}).get(name)
+    return round((a / b) / ratio, 3) if a and b else None
+
 pairs = []
 for i in range(reps):
     eff = (lo[i]["wall_sec"] / hi[i]["wall_sec"]) / ratio
     s_lo, s_hi = steady(lo[i]), steady(hi[i])
     pairs.append({
+        "phase_efficiency": {
+            ph: phase_eff(lo[i], hi[i], ph) for ph in lo[i].get("phases", {})
+        },
         "rep": i + 1,
         "order": "lo_first" if i % 2 == 0 else "hi_first",
         "lo_wall_sec": lo[i]["wall_sec"],

@@ -112,7 +112,8 @@ def main() -> None:
     )
     from aardvark_geometry_quadtree_spark.sources.webpages import (
         geocode,
-        pages_to_blocks,
+        pages_to_points,
+        points_to_blocks,
         synth_webpages,
     )
 
@@ -159,16 +160,29 @@ def main() -> None:
     cpu0 = jvm_cpu_sec()
     t0 = time.perf_counter()
 
-    # --- ingest: pages tables -> bucketed block staging tables -------------
+    # --- ingest_scan: the string-touching projection, run ONCE per crawl ---
+    # pages -> geocoded INT points (cx, cy, n_chars), staged as the durable
+    # geocoded input. This is the only phase that reads url/text strings;
+    # it is parquet-string-scan bandwidth-bound, so its ceiling is the DRAM
+    # envelope (~0.46 on this box), and it amortizes: every later block
+    # build / re-tile / merge starts from the staged points.
+    t = time.perf_counter()
+    for i in (1, 2):
+        pages = spark.read.parquet(f"/dev/shm/spark-wh/pages_{i}")
+        pts = pages_to_points(geocode(pages, extent=args.extent), e=0)
+        pts.write.mode("overwrite").parquet(f"/dev/shm/spark-wh/points_{i}")
+    mark("ingest_scan", t)
+
+    # --- ingest_blocks: staged int points -> bucketed block staging tables -
     # (one point-shuffle per crawl, bincount histogram kernels, NO per-cell
     # hash aggregation anywhere)
     t = time.perf_counter()
     for i in (1, 2):
-        pages = spark.read.parquet(f"/dev/shm/spark-wh/pages_{i}")
-        blk = pages_to_blocks(geocode(pages, extent=args.extent), e=0, bits=args.bits)
+        pts = spark.read.parquet(f"/dev/shm/spark-wh/points_{i}")
+        blk = points_to_blocks(pts, e=0, bits=args.bits)
         save_blocks_bucketed(blk.drop("n_pages", "n_pages_mask"),
                              f"crawl{i}_blk", n_buckets=args.buckets)
-    mark("ingest", t)
+    mark("ingest_blocks", t)
 
     # --- merge: crawl-over-crawl dominance merge, Exchange-free plan + -----
     # vectorized winner kernel (engine='kernel'; the SQL zip_with variant

@@ -69,14 +69,20 @@ def geocode(pages: DataFrame, extent: float = 1024.0, seed: int = 42) -> DataFra
     FIXTURES.md §4): site-hash picks a region center, page-hash jitters
     within it. Pure Column arithmetic — no Python per row. Site extraction
     uses substring_index instead of a regex (same value; regexp_extract was
-    the single hottest allocation site in ingest profiling)."""
+    the single hottest allocation site in ingest profiling). ONE xxhash64
+    per string: x- and y-components come from disjoint bit ranges of a
+    single url hash (and a single site hash) — string hashing is the
+    dominant per-row cost of the geocode scan, and two independent hashes
+    of the same url bought nothing over one split in half."""
     site = F.substring_index(
         F.substring_index(F.col("url"), ".example", 1), "//site", -1
     ).cast("long")
-    hx = F.pmod(F.xxhash64(site, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
-    hy = F.pmod(F.xxhash64(site, F.lit(seed + 1)), F.lit(1_000_000)) / 1_000_000.0
-    jx = F.pmod(F.xxhash64("url", F.lit(seed + 2)), F.lit(1_000_000)) / 1_000_000.0
-    jy = F.pmod(F.xxhash64("url", F.lit(seed + 3)), F.lit(1_000_000)) / 1_000_000.0
+    hs = F.xxhash64(site, F.lit(seed))
+    hu = F.xxhash64("url", F.lit(seed + 2))
+    hx = F.pmod(hs, F.lit(1_000_000)) / 1_000_000.0
+    hy = F.pmod(F.shiftrightunsigned(hs, 20), F.lit(1_000_000)) / 1_000_000.0
+    jx = F.pmod(hu, F.lit(1_000_000)) / 1_000_000.0
+    jy = F.pmod(F.shiftrightunsigned(hu, 20), F.lit(1_000_000)) / 1_000_000.0
     x = (hx * 0.9 + jx * 0.1) * extent
     y = (hy * 0.9 + jy * 0.1) * extent
     return pages.withColumn("x", x).withColumn("y", y)
@@ -108,33 +114,37 @@ def text_hash_check(pages_a: DataFrame, pages_b: DataFrame) -> int:
     return ha.join(hb, "url", "inner").filter(F.col("h_a") != F.col("h_b")).count()
 
 
-def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
-    """Geocoded pages -> aligned block raster DIRECTLY — the scale-path
-    ingest that never materializes a per-cell row set.
+def pages_to_points(pages_xy: DataFrame, e: int = 0) -> DataFrame:
+    """The string-touching projection of ingest: geocoded pages -> INT
+    points ``(cx, cy, tl)``.
 
-    ``pages_to_samples`` aggregates per cell: a hash aggregation whose key
-    set is the full cell grid (8-16M keys at crawl scale) — the round-2
-    scaling bottleneck (cpu-time inflates 1.45-1.8x at 16 threads from
-    DRAM/LLC contention on the hash table). Here the only shuffle is a hash
-    partition of the raw points by BLOCK key (a few hundred groups, no
-    per-cell hash table anywhere); each block's cells are then histogrammed
-    with vectorized ``np.bincount`` into the dense array payload of
-    :func:`..operators.blocks.pack_blocks` format. Layer parity with
-    ``pages_to_samples``: ``height`` = mean text length per cell (sums of
-    integer-valued doubles are exact, so equality with the hash-agg path is
-    bitwise — tested), ``n_pages`` = page count.
+    This is the only place the wide ``url``/``text`` columns are read; the
+    projection happens inside the scan stage (Catalyst collapses it into
+    the parquet read), so nothing downstream of this frame carries a
+    string. At scale, STAGE THIS FRAME as the durable geocoded input
+    (small int columns): the scan phase runs once per crawl and every
+    later block build / merge / re-tile starts from the staged points —
+    see BENCH/scaling.py's ingest_scan / ingest_blocks split.
     """
-    import numpy as np
-    import pandas as pd
-
     from ..functions import cells as C
 
-    w = 1 << bits
-    keyed = pages_xy.select(
+    return pages_xy.select(
         C.cell_coord(F.col("x"), e).alias("cx"),
         C.cell_coord(F.col("y"), e).alias("cy"),
         F.length("text").cast("double").alias("tl"),
-    ).select(
+    )
+
+
+def points_to_blocks(points: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
+    """Int points ``(cx, cy, tl)`` -> aligned block raster: one hash
+    partition by BLOCK key, then vectorized ``np.bincount`` histograms into
+    dense array payloads (see :func:`pages_to_blocks` for the full
+    rationale)."""
+    import numpy as np
+    import pandas as pd
+
+    w = 1 << bits
+    keyed = points.select(
         F.shiftright(F.col("cx"), bits).alias("bx"),
         F.shiftright(F.col("cy"), bits).alias("by"),
         "cx", "cy", "tl",
@@ -180,3 +190,26 @@ def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame
         yield pd.DataFrame(out)
 
     return keyed.repartition("bx", "by").mapInPandas(_hist, out_schema)
+
+
+def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
+    """Geocoded pages -> aligned block raster DIRECTLY — the scale-path
+    ingest that never materializes a per-cell row set.
+
+    ``pages_to_samples`` aggregates per cell: a hash aggregation whose key
+    set is the full cell grid (8-16M keys at crawl scale) — the round-2
+    scaling bottleneck (cpu-time inflates 1.45-1.8x at 16 threads from
+    DRAM/LLC contention on the hash table). Here the only shuffle is a hash
+    partition of the raw points by BLOCK key (a few hundred groups, no
+    per-cell hash table anywhere); each block's cells are then histogrammed
+    with vectorized ``np.bincount`` into the dense array payload of
+    :func:`..operators.blocks.pack_blocks` format. Layer parity with
+    ``pages_to_samples``: ``height`` = mean text length per cell (sums of
+    integer-valued doubles are exact, so equality with the hash-agg path is
+    bitwise — tested), ``n_pages`` = page count.
+
+    Composition of :func:`pages_to_points` (string-touching scan
+    projection) and :func:`points_to_blocks` (int shuffle + histogram);
+    stage the points frame between the two at scale.
+    """
+    return points_to_blocks(pages_to_points(pages_xy, e), e, bits)
