@@ -852,88 +852,100 @@ def pyramid_blocks(
     chans = {n: (vector_specs[n].channels if n in vector_specs else 1) for n in layers}
     kinds = {n: (vector_specs[n].kind if n in vector_specs else None) for n in layers}
 
+    names = [f.split(" ")[0] for f in fields]
+
+    def _emit(out, g, lvl, w_out, occ, vals, defs):
+        """Append one pyramid level of a stacked row group to the output
+        columns (vectorized across the group's n rows)."""
+        out["bx"].append(g["bx"].to_numpy(np.int64))
+        out["by"].append(g["by"].to_numpy(np.int64))
+        out["e"].append(g["e"].to_numpy(np.int64) + lvl)
+        out["w"].append(np.full(len(g), w_out, dtype=np.int64))
+        out["n_samples"].append(occ.sum(axis=1))
+        out["occ"].append(occ)
+        for n in layers:
+            k = chans[n]
+            dmask = np.repeat(defs[n], k, axis=1) if k > 1 else defs[n]
+            if n in masked:
+                out[n].append(np.where(dmask, vals[n], 0).astype(np.int64))
+                out[f"{n}_mask"].append(defs[n])
+            else:
+                out[n].append(np.where(dmask, vals[n], np.nan))
+
+    def _pyr_group(g: pd.DataFrame, w: int, out) -> None:
+        """Whole-group pyramid: every level is one reshape-reduce over the
+        stacked (n, w*w[*k]) arrays — no per-row Python loop (the loop
+        variant paid per-row fixed cost that dominated at small widths)."""
+        if (w >> levels) < 1:
+            raise ValueError(
+                f"pyramid_blocks: {levels} levels exceeds log2(w={w}); "
+                "roll the remainder up with pyramid.build_pyramid"
+            )
+        n_rows = len(g)
+        occ = _stack(g["occ"], bool)
+        vals: dict[str, np.ndarray] = {}
+        defs: dict[str, np.ndarray] = {}
+        for n in layers:
+            v = _stack(g[n], np.float64)
+            if n in masked:
+                d = _stack(g[f"{n}_mask"], bool)
+            elif n in vector_specs:
+                # float vector: a hole is an all-NaN cell; per-cell defined
+                # mask from channel 0
+                d = ~np.isnan(v.reshape(n_rows, -1, chans[n])[:, :, 0])
+            else:
+                d = ~np.isnan(v)
+            v = np.where(np.repeat(d, chans[n], axis=1) if chans[n] > 1 else d, v, 0.0)
+            vals[n], defs[n] = v, d
+        if include_base:
+            _emit(out, g, 0, w, occ, vals, defs)
+        cw = w
+        for lvl in range(1, levels + 1):
+            pw = cw // 2
+            occ = occ.reshape(n_rows, pw, 2, pw, 2).any(axis=(2, 4))
+            for n in layers:
+                k = chans[n]
+                c = defs[n].reshape(n_rows, pw, 2, pw, 2).sum(axis=(2, 4))
+                d = c > 0
+                if k == 1:
+                    sm = vals[n].reshape(n_rows, pw, 2, pw, 2).sum(axis=(2, 4))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        m = sm / np.where(d, c, 1)
+                    if n in int_layers:
+                        m = np.fix(m)  # truncating division (F# int '/')
+                    vals[n] = np.where(d, m, 0.0).reshape(n_rows, -1)
+                else:
+                    sm = vals[n].reshape(n_rows, pw, 2, pw, 2, k).sum(axis=(2, 4))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        m = sm / np.where(d, c, 1)[..., None]
+                    if kinds[n] == "intcolor":
+                        m = np.fix(m)  # per-channel truncating mean
+                    elif kinds[n] == "normal":
+                        norm = np.sqrt((m * m).sum(axis=-1, keepdims=True))
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            m = m / np.where(norm > 0, norm, 1.0)
+                    vals[n] = np.where(d[..., None], m, 0.0).reshape(n_rows, -1)
+                defs[n] = d.reshape(n_rows, -1)
+            occ = occ.reshape(n_rows, -1)
+            _emit(out, g, lvl, pw, occ, vals, defs)
+            cw = pw
+
     def _pyr(iterator):
         for pdf in iterator:
-            out: list[dict] = []
-            for row in pdf.itertuples(index=False):
-                rowd = dict(zip(pdf.columns, row))
-                w = int(rowd["w"])
-                if (w >> levels) < 1:
-                    raise ValueError(
-                        f"pyramid_blocks: {levels} levels exceeds log2(w={w}); "
-                        "roll the remainder up with pyramid.build_pyramid"
-                    )
-                occ = np.asarray(rowd["occ"], dtype=bool)
-                vals: dict[str, np.ndarray] = {}
-                defs: dict[str, np.ndarray] = {}
-                for n in layers:
-                    v = np.asarray(rowd[n], dtype=np.float64)
-                    if n in masked:
-                        d = np.asarray(rowd[f"{n}_mask"], dtype=bool)
-                    elif n in vector_specs:
-                        # float vector: a hole is an all-NaN cell; per-cell
-                        # defined mask from channel 0
-                        d = ~np.isnan(v.reshape(-1, chans[n])[:, 0])
-                    else:
-                        d = ~np.isnan(v)
-                    v = np.where(np.repeat(d, chans[n]) if chans[n] > 1 else d, v, 0.0)
-                    vals[n], defs[n] = v, d
-                if include_base:
-                    out.append(_block_row(rowd["bx"], rowd["by"], int(rowd["e"]), w, occ,
-                                           vals, defs, layers, masked, chans))
-                cw = w
-                for lvl in range(1, levels + 1):
-                    pw = cw // 2
-                    occ = occ.reshape(pw, 2, pw, 2).any(axis=(1, 3))
-                    for n in layers:
-                        k = chans[n]
-                        c = defs[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
-                        d = c > 0
-                        if k == 1:
-                            sm = vals[n].reshape(pw, 2, pw, 2).sum(axis=(1, 3))
-                            with np.errstate(invalid="ignore", divide="ignore"):
-                                m = sm / np.where(d, c, 1)
-                            if n in int_layers:
-                                m = np.fix(m)  # truncating division (F# int '/')
-                            vals[n] = np.where(d, m, 0.0).reshape(-1)
-                        else:
-                            sm = vals[n].reshape(pw, 2, pw, 2, k).sum(axis=(1, 3))
-                            with np.errstate(invalid="ignore", divide="ignore"):
-                                m = sm / np.where(d, c, 1)[..., None]
-                            if kinds[n] == "intcolor":
-                                m = np.fix(m)  # per-channel truncating mean
-                            elif kinds[n] == "normal":
-                                norm = np.sqrt((m * m).sum(axis=-1, keepdims=True))
-                                with np.errstate(invalid="ignore", divide="ignore"):
-                                    m = m / np.where(norm > 0, norm, 1.0)
-                            vals[n] = np.where(d[..., None], m, 0.0).reshape(-1)
-                        defs[n] = d.reshape(-1)
-                    occ = occ.reshape(-1)
-                    out.append(_block_row(rowd["bx"], rowd["by"], int(rowd["e"]) + lvl, pw,
-                                           occ, vals, defs, layers, masked, chans))
-                    cw = pw
-            if out:
-                yield pd.DataFrame(out)
-            else:
-                yield pd.DataFrame({f.split(" ")[0]: [] for f in fields})
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {n: [] for n in names}
+            for wv, g in pdf.groupby("w", sort=False):
+                _pyr_group(g, int(wv), out)
+            cols = {}
+            for n in names:
+                if n in ("bx", "by", "e", "w", "n_samples"):
+                    cols[n] = np.concatenate(out[n])
+                else:
+                    cols[n] = [row for arr in out[n] for row in arr]
+            yield pd.DataFrame(cols)
 
     return blocks.select(*in_cols).mapInPandas(_pyr, out_schema)
-
-
-def _block_row(bx, by, e, w, occ, vals, defs, layers, masked, chans=None) -> dict:
-    row = {
-        "bx": int(bx), "by": int(by), "e": int(e), "w": int(w),
-        "n_samples": int(occ.sum()), "occ": occ.tolist(),
-    }
-    for n in layers:
-        k = (chans or {}).get(n, 1)
-        dmask = np.repeat(defs[n], k) if k > 1 else defs[n]
-        if n in masked:
-            row[n] = np.where(dmask, vals[n], 0).astype(np.int64).tolist()
-            row[f"{n}_mask"] = defs[n].tolist()
-        else:
-            row[n] = np.where(dmask, vals[n], np.nan).tolist()
-    return row
 
 
 # ---------------------------------------------------------------------------
