@@ -114,6 +114,11 @@ out = {
     "n_lo": n_lo,
     "n_hi": n_hi,
     "reps": reps,
+    # raw per-leg records: pooled min-per-phase analysis needs every leg,
+    # not just the best (host noise is one-sided, so per-phase minima are
+    # the least-interference estimator — see BENCH/scaling_results.json)
+    "lo_runs": lo,
+    "hi_runs": hi,
     "best_lo": best_lo,
     "best_hi": best_hi,
     "all_lo_wall_sec": [r["wall_sec"] for r in lo],
