@@ -277,7 +277,7 @@ def q_knn_batch(spark, sf_dir):
     over radii). Same tie-break as q_knn."""
     s = _doc_samples(spark, sf_dir).drop("n_docs")
     pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
-    r = Q.knn_join(s, pos, k=10, ring_exponent=4)
+    r = Q.knn_join(s, pos, k=10, ring_exponent=4, start_radius=4)
     return _r6(
         r.select("pid", "cx", "cy", F.col("e").cast("long").alias("e"), "height", "dist"),
         "height", "dist",
@@ -336,7 +336,7 @@ def q_knn_batch_blocks(spark, sf_dir):
     pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
     r = knn_join_blocks(
         pack_blocks(s, bits=4), pos, k=10, bits=4,
-        layer_types={"height": "double"},
+        layer_types={"height": "double"}, start_radius=4,
     )
     return _r6(
         r.select("pid", "cx", "cy", F.col("e").cast("long").alias("e"), "height", "dist"),

@@ -587,7 +587,15 @@ def merge_blocks_mixed(
     dominance = Dominance(dominance)
     if layers is None:
         layers, _ = _block_layers(first)
-    int_layers = {n for n, t in first.dtypes if t == "array<bigint>" and n in layers}
+    vector_specs = resolve_vector_specs(layers)
+    int_layers = {
+        n for n, t in first.dtypes
+        if t == "array<bigint>" and n in layers and n not in vector_specs
+    }
+    masked = set(int_layers) | {
+        n for n, s in vector_specs.items() if s.kind == "intcolor"
+    }
+    chans = {n: (vector_specs[n].channels if n in vector_specs else 1) for n in layers}
 
     if first_exponents is not None and second_exponents is not None:
         e1 = {int(x) for x in first_exponents}
@@ -601,7 +609,7 @@ def merge_blocks_mixed(
     e_max = max(all_e)
 
     data_cols = ["occ", *[
-        c for n in layers for c in ((n, f"{n}_mask") if n in int_layers else (n,))
+        c for n in layers for c in ((n, f"{n}_mask") if n in masked else (n,))
     ]]
 
     def _tag(df: DataFrame, src: int) -> DataFrame:
@@ -618,7 +626,7 @@ def merge_blocks_mixed(
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
-        if n in int_layers:
+        if n in masked:
             fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
         else:
@@ -661,7 +669,7 @@ def merge_blocks_mixed(
         pres = {s: np.zeros((W, W), dtype=bool) for s in (1, 2)}
         srce = {s: np.full((W, W), -127, dtype=np.int16) for s in (1, 2)}
         vals = {
-            s: {n: np.zeros((W, W), dtype=(np.int64 if n in int_layers else np.float64))
+            s: {n: np.zeros((W, W, chans[n]), dtype=(np.int64 if n in masked else np.float64))
                 for n in layers}
             for s in (1, 2)
         }
@@ -677,13 +685,17 @@ def merge_blocks_mixed(
             pres[sd][sl] |= occ
             srce[sd][sl][occ] = e
             for n in layers:
-                if n in int_layers:
-                    v = np.asarray(row[n], dtype=np.int64).reshape(w, w)
+                k = chans[n]
+                if n in masked:
+                    v = np.asarray(row[n], dtype=np.int64).reshape(w, w, k)
                     m = np.asarray(row[f"{n}_mask"], dtype=bool).reshape(w, w)
                 else:
-                    v = np.asarray(row[n], dtype=np.float64).reshape(w, w)
-                    m = ~np.isnan(v)
-                vf, mf = _expand(v, sc), _expand(m, sc) & occ
+                    v = np.asarray(row[n], dtype=np.float64).reshape(w, w, k)
+                    m = ~np.isnan(v[:, :, 0])
+                # supersample: repeat rows/cols of the cell grid (channel
+                # axis untouched — Layer.fs:210-241 duplicates whole values)
+                vf = _expand(v, sc)
+                mf = _expand(m, sc) & occ
                 vals[sd][n][sl][mf] = vf[mf]
                 defs[sd][n][sl] |= mf
 
@@ -746,13 +758,20 @@ def merge_blocks_mixed(
                 out["n_samples"].append(int(occ.sum()))
                 out["occ"].append(occ.ravel())
                 for n in layers:
-                    v = np.where(ta, va[n][sl], vb[n][sl])
+                    k = chans[n]
+                    if k > 1:
+                        v = np.where(ta[..., None], va[n][sl], vb[n][sl])
+                    else:
+                        # squeeze the channel axis: (w,w) mask against a
+                        # (w,w,1) view would mis-broadcast to (w,w,w)
+                        v = np.where(ta, va[n][sl][..., 0], vb[n][sl][..., 0])
                     d = np.where(ta, da[n][sl], db[n][sl]) & occ
-                    if n in int_layers:
-                        out[n].append(np.where(d, v, 0).ravel())
+                    dm = np.repeat(d, k).reshape(d.shape + (k,)) if k > 1 else d
+                    if n in masked:
+                        out[n].append(np.where(dm, v, 0).ravel())
                         out[f"{n}_mask"].append(d.ravel())
                     else:
-                        out[n].append(np.where(d, v, np.nan).ravel())
+                        out[n].append(np.where(dm, v, np.nan).ravel())
 
     def _kernel(iterator):
         batches = list(iterator)
@@ -1042,6 +1061,8 @@ def knn_join_blocks(
     ring_exponent: int | None = None,
     max_rings: int = 64,
     layer_types: dict[str, str] | None = None,
+    start_radius: int = 1,
+    stage_input: bool = True,
 ) -> DataFrame:
     """Batched kNN over a BLOCK staging table — ``query.knn_join``
     semantics (k nearest by cell-center distance per probe, tie-break
@@ -1063,6 +1084,11 @@ def knn_join_blocks(
     from pyspark.sql import Window as W
 
     layers, _ = _block_layers(blocks)
+    if stage_input:
+        # each ring round re-joins the block table: cut once (callers with
+        # an already-staged table pass stage_input=False)
+        from .. import boundary as _bnd0
+        blocks = _bnd0.cut(blocks)
     e_max = blocks.agg(F.max("e")).collect()[0][0]
     if e_max is None:
         # empty table: k-nearest of nothing is nothing
@@ -1153,7 +1179,7 @@ def knn_join_blocks(
 
     unresolved = positions.select("pid", "px", "py")
     resolved_parts = []
-    r = 1
+    r = max(1, int(start_radius))
     while r <= max_rings:
         done = _round(unresolved, side, r, covering=False)
         resolved_parts.append(done.select(*out_cols))

@@ -520,6 +520,8 @@ def knn_join(
     k: int,
     ring_exponent: int | None = None,
     max_rings: int = 64,
+    start_radius: int = 1,
+    stage_input: bool = True,
 ) -> DataFrame:
     """BATCHED kNN: the k nearest samples (by center distance) for EVERY
     probe in ``positions`` (pid, px, py) — the training-pipeline shape
@@ -555,6 +557,13 @@ def knn_join(
     if ring_exponent is None:
         ring_exponent = samples.agg(F.max("e")).collect()[0][0]
     side = 2.0 ** ring_exponent
+
+    # the samples frame is consumed once per ring round (plus the bbox agg):
+    # cut it once so each round joins a materialized/staged frame instead of
+    # recomputing the upstream lineage per round. Callers passing an
+    # already-staged table can set stage_input=False to skip the copy.
+    if stage_input:
+        samples = _bnd.cut(samples)
 
     cx_center = C.sample_pos(F.col("cx"), F.col("e"), 0.5)
     cy_center = C.sample_pos(F.col("cy"), F.col("e"), 0.5)
@@ -606,7 +615,10 @@ def knn_join(
 
     unresolved = positions.select("pid", "px", "py")
     resolved_parts: list[DataFrame] = []
-    r = 1
+    # start_radius skips the small early rounds when the caller knows the
+    # local density is low (each round costs a join + a count job; the
+    # result is radius-schedule independent, only round count changes)
+    r = max(1, int(start_radius))
     while r <= max_rings:
         done = _round(unresolved, side, r, covering=False)
         resolved_parts.append(done.select(*out_cols))

@@ -381,3 +381,20 @@ def test_vector_layers_sql_engine_rejected(spark):
     b = B.pack_blocks(_mk_vec(spark, 6), 2)
     with pytest.raises(ValueError, match="vector layers"):
         B.merge_blocks(a, b, "first", engine="sql")
+
+
+@pytest.mark.parametrize("dom", ["first", "more_detailed_or_second"])
+def test_vector_layers_mixed_merge_matches_merge_samples(spark, dom):
+    """Cross-exponent block merge carries vector layers: coarse cells
+    supersample whole vector values; fragments keep the coarse parent's
+    vector (Layer.fs:210-241 value duplication)."""
+    fine = _mk_vec(spark, 7, n=80, grid=16)
+    coarse = _mk_vec(spark, 8, n=40, grid=8).withColumn("e", F.lit(1).cast("int"))
+    exp = merge_samples(coarse, fine, dom, layers=["Normals3f", "Colors4b"],
+                        first_exponents=[1], second_exponents=[0])
+    m = B.merge_blocks_mixed(
+        B.pack_blocks(coarse, 2), B.pack_blocks(fine, 2), dom,
+        first_exponents=[1], second_exponents=[0],
+    )
+    got = B.unpack_blocks(m)
+    assert _vcells(got) == _vcells(exp)
