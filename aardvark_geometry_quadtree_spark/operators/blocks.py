@@ -183,65 +183,75 @@ def pack_blocks(
     def _pack_partition(iterator):
         # a partition can arrive as multiple Arrow batches; the kernel needs
         # whole groups, so concatenate first (groups are co-located by the
-        # repartition, never split across partitions)
+        # repartition, never split across partitions).
+        # FULLY VECTORIZED: no per-group loop — sparse rasters produce
+        # thousands of near-empty blocks, and per-group pandas slicing cost
+        # ~0.5 ms each (the applyInPandas disease re-entering through our
+        # own groupby). One np.unique assigns every row a block code; every
+        # buffer is built by 2-D scatter across ALL blocks at once.
         batches = list(iterator)
         if not batches:
             return
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
         if not len(pdf):
             return
-        out: dict[str, list] = {f.split(" ")[0]: [] for f in fields}
-        for (bx, by, e), g in pdf.groupby(["bx", "by", "e"], sort=False):
-            cx = g["cx"].to_numpy(np.int64)
-            cy = g["cy"].to_numpy(np.int64)
-            idx = (cy - int(by) * w) * w + (cx - int(bx) * w)
-            occ = np.zeros(w * w, dtype=bool)
-            occ[idx] = True
-            out["bx"].append(int(bx))
-            out["by"].append(int(by))
-            out["e"].append(int(e))
-            out["w"].append(w)
-            # occupied-cell count, NOT len(g): n_samples means occupied cells
-            # everywhere on the block path (merge kernel, pyramid), and
-            # duplicate (cx, cy) input rows — a violated uniqueness
-            # precondition — must not inflate it past the occupancy
-            out["n_samples"].append(int(occ.sum()))
-            out["occ"].append(occ.tolist())
-            for name in layers:
-                defined = g[name].notna().to_numpy()
-                spec = vector_specs.get(name)
-                if spec is not None:
-                    k = spec.channels
-                    pos = (idx[defined][:, None] * k + np.arange(k)).ravel()
-                    if len(idx[defined]):
-                        vv = np.stack(g[name][defined].to_list()).astype(
-                            np.int64 if spec.kind == "intcolor" else np.float64
-                        ).ravel()
-                    else:
-                        vv = np.empty(0)
-                    if spec.kind == "intcolor":
-                        buf = np.zeros(w * w * k, dtype=np.int64)
-                        buf[pos] = vv
-                        dmask = np.zeros(w * w, dtype=bool)
-                        dmask[idx[defined]] = True
-                        out[name].append(buf.tolist())
-                        out[f"{name}_mask"].append(dmask.tolist())
-                    else:
-                        buf = np.full(w * w * k, np.nan)
-                        buf[pos] = vv
-                        out[name].append(buf.tolist())
-                elif name in int_layers:
-                    buf = np.zeros(w * w, dtype=np.int64)
-                    buf[idx[defined]] = pd.to_numeric(g[name][defined]).to_numpy(np.int64)
-                    dmask = np.zeros(w * w, dtype=bool)
-                    dmask[idx[defined]] = True
-                    out[name].append(buf.tolist())
-                    out[f"{name}_mask"].append(dmask.tolist())
+        bx = pdf["bx"].to_numpy(np.int64)
+        by = pdf["by"].to_numpy(np.int64)
+        ee = pdf["e"].to_numpy(np.int64)
+        cx = pdf["cx"].to_numpy(np.int64)
+        cy = pdf["cy"].to_numpy(np.int64)
+        keys = np.stack([bx, by, ee], axis=1)
+        uniq, codes = np.unique(keys, axis=0, return_inverse=True)
+        nb = len(uniq)
+        idx = (cy - by * w) * w + (cx - bx * w)
+        occ2 = np.zeros((nb, w * w), dtype=bool)
+        occ2[codes, idx] = True
+        out: dict[str, object] = {
+            "bx": uniq[:, 0], "by": uniq[:, 1],
+            "e": uniq[:, 2].astype(np.int64),
+            "w": np.full(nb, w, dtype=np.int64),
+            # occupied-cell count, NOT input row count: n_samples means
+            # occupied cells everywhere on the block path, and duplicate
+            # (cx, cy) input rows must not inflate it past the occupancy
+            "n_samples": occ2.sum(axis=1),
+            "occ": list(occ2),
+        }
+        for name in layers:
+            defined = pdf[name].notna().to_numpy()
+            dcodes, didx = codes[defined], idx[defined]
+            spec = vector_specs.get(name)
+            if spec is not None:
+                k = spec.channels
+                if defined.any():
+                    vv = np.stack(pdf[name][defined].to_list()).astype(
+                        np.int64 if spec.kind == "intcolor" else np.float64
+                    )
                 else:
-                    buf = np.full(w * w, np.nan)
-                    buf[idx[defined]] = g[name][defined].to_numpy(np.float64)
-                    out[name].append(buf.tolist())
-        yield pd.DataFrame(out)
+                    vv = np.empty((0, k))
+                if spec.kind == "intcolor":
+                    buf = np.zeros((nb, w * w * k), dtype=np.int64)
+                else:
+                    buf = np.full((nb, w * w * k), np.nan)
+                for ch in range(k):
+                    buf[dcodes, didx * k + ch] = vv[:, ch]
+                out[name] = list(buf)
+                if spec.kind == "intcolor":
+                    dm = np.zeros((nb, w * w), dtype=bool)
+                    dm[dcodes, didx] = True
+                    out[f"{name}_mask"] = list(dm)
+            elif name in int_layers:
+                buf = np.zeros((nb, w * w), dtype=np.int64)
+                buf[dcodes, didx] = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
+                dm = np.zeros((nb, w * w), dtype=bool)
+                dm[dcodes, didx] = True
+                out[name] = list(buf)
+                out[f"{name}_mask"] = list(dm)
+            else:
+                buf = np.full((nb, w * w), np.nan)
+                buf[dcodes, didx] = pdf[name][defined].to_numpy(np.float64)
+                out[name] = list(buf)
+        names_out = [f.split(" ")[0] for f in fields]
+        yield pd.DataFrame(out)[names_out]
 
     return keyed.repartition("bx", "by", "e").mapInPandas(_pack_partition, out_schema)
 
