@@ -40,6 +40,7 @@ from aardvark_geometry_quadtree_spark.operators.blocks import (
     inside_box_blocks,
     inside_polygon_blocks,
     knn_join_blocks,
+    lod_cut_blocks,
     merge_blocks,
     merge_blocks_mixed,
     pack_blocks,
@@ -414,6 +415,17 @@ def q_polygon_blocks(spark, sf_dir):
     )
 
 
+def q_lod_cut_blocks(spark, sf_dir):
+    """J3+MinExponent via the BLOCK path (operators/blocks.py
+    lod_cut_blocks): world-anchored shadowing kernel over a mixed-width
+    block pyramid. Same oracle as q_lod_cut."""
+    s = _doc_samples(spark, sf_dir, "src2").drop("n_docs")
+    pyr = pyramid_blocks(pack_blocks(s, bits=4), levels=1, include_base=True)
+    cut = lod_cut_blocks(pyr, 0, exponents=[0, 1])
+    u = unpack_blocks(cut, layer_types={"height": "double"})
+    return _r6(u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")
+
+
 def q_lod_cut(spark, sf_dir):
     """J3 + MinExponent: per-location finest level of a 2-level pyramid."""
     s = _doc_samples(spark, sf_dir, "src2").drop("n_docs")
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_blocks_mixed": q_merge_blocks_mixed,
         "point_lookup_blocks": q_point_lookup_blocks,
         "knn_batch_blocks": q_knn_batch_blocks,
+        "lod_cut_blocks": q_lod_cut_blocks,
         "lod_cut": q_lod_cut,
         "ebb_stats": q_ebb_stats,
         "token_count": q_token_count,
@@ -878,6 +891,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT cx, cy, e, round(height, 6) FROM frag
         """,
         "lod_cut": f"""
+            WITH l0 AS (SELECT cx, cy, e, height FROM ({S2})),
+            l1 AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
+                   FROM l0 GROUP BY 1, 2, 3),
+            keep1 AS (SELECT c.* FROM l1 c WHERE NOT EXISTS
+                      (SELECT 1 FROM l0 f WHERE (f.cx >> 1) = c.cx AND (f.cy >> 1) = c.cy))
+            SELECT cx, cy, e, round(height, 6) AS height FROM l0
+            UNION ALL SELECT cx, cy, e, round(height, 6) FROM keep1
+        """,
+"lod_cut_blocks": f"""
             WITH l0 AS (SELECT cx, cy, e, height FROM ({S2})),
             l1 AS (SELECT cx >> 1 AS cx, cy >> 1 AS cy, CAST(1 AS BIGINT) AS e, avg(height) AS height
                    FROM l0 GROUP BY 1, 2, 3),

@@ -977,6 +977,248 @@ def pyramid_blocks(
     return blocks.select(*in_cols).mapInPandas(_pyr, out_schema)
 
 
+def supersample_blocks(
+    blocks: DataFrame,
+    levels: int = 1,
+    layers: list[str] | None = None,
+    vector_specs: dict[str, VectorSpec] | None = None,
+) -> DataFrame:
+    """A2 on the block path: every block expands into 4^levels child blocks
+    one (or more) exponents finer, each cell's value duplicated into its
+    children (Layer.fs:210-241 — no interpolation; subsampling is
+    unsupported, mirroring Layer.fs:249-250).
+
+    Shuffle-free: one ``mapInPandas`` pass; each input block's arrays are
+    ``np.repeat``-expanded batched across the Arrow batch and cut into the
+    2x2 child blocks per level. Parity with ``pyramid.supersample_once``
+    through ``unpack_blocks`` is differential-tested."""
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    if vector_specs is None:
+        vector_specs = resolve_vector_specs(layers)
+    int_layers = {
+        n for n, t in blocks.dtypes
+        if t == "array<bigint>" and n in layers and n not in vector_specs
+    }
+    masked = set(int_layers) | {
+        n for n, s in vector_specs.items() if s.kind == "intcolor"
+    }
+    chans = {n: (vector_specs[n].channels if n in vector_specs else 1) for n in layers}
+    in_cols = ["bx", "by", "e", "w", "occ", *[
+        c for n in layers for c in ((n, f"{n}_mask") if n in masked else (n,))
+    ]]
+    fields = ["bx long", "by long", "e int", "w int", "n_samples long",
+              "occ array<boolean>"]
+    for n in layers:
+        if n in masked:
+            fields.append(f"{n} array<long>")
+            fields.append(f"{n}_mask array<boolean>")
+        else:
+            fields.append(f"{n} array<double>")
+    out_schema = ", ".join(fields)
+    names = [f.split(" ")[0] for f in fields]
+
+    def _cells2(a2: np.ndarray, w: int, k: int) -> np.ndarray:
+        """(n, w*w*k) -> (n, 2w, 2w, k) with each cell duplicated 2x2."""
+        n_rows = a2.shape[0]
+        g = a2.reshape(n_rows, w, w, k)
+        return np.repeat(np.repeat(g, 2, axis=1), 2, axis=2)
+
+    def _ss(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            for wv, grp in pdf.groupby("w", sort=False):
+                w = int(wv)
+                bx = grp["bx"].to_numpy(np.int64)
+                by = grp["by"].to_numpy(np.int64)
+                ee = grp["e"].to_numpy(np.int64)
+                occ = _stack(grp["occ"], bool)
+                data = {}
+                for n in layers:
+                    dt = np.int64 if n in masked else np.float64
+                    data[n] = _stack(grp[n], dt)
+                    if n in masked:
+                        data[f"{n}_mask"] = _stack(grp[f"{n}_mask"], bool)
+                occ2 = _cells2(occ, w, 1)
+                exp = {c: _cells2(data[c], w, 1 if c.endswith("_mask") else chans[c])
+                       for c in data}
+                out: dict[str, list] = {m: [] for m in names}
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        sl = (slice(None), slice(dy * w, (dy + 1) * w),
+                              slice(dx * w, (dx + 1) * w))
+                        o = occ2[sl].reshape(len(grp), -1)
+                        out["bx"].append(bx * 2 + dx)
+                        out["by"].append(by * 2 + dy)
+                        out["e"].append(ee - 1)
+                        out["w"].append(np.full(len(grp), w, np.int64))
+                        out["n_samples"].append(o.sum(axis=1))
+                        out["occ"].append(o)
+                        for c in data:
+                            out[c].append(exp[c][sl].reshape(len(grp), -1))
+                cols = {}
+                for m in names:
+                    if m in ("bx", "by", "e", "w", "n_samples"):
+                        cols[m] = np.concatenate(out[m])
+                    else:
+                        cols[m] = [row for arr in out[m] for row in arr]
+                yield pd.DataFrame(cols)
+
+    if levels != 1:
+        # iterate single-level passes: each pass is shuffle-free, and 4^L
+        # blow-up makes deep supersampling a deliberate, visible choice
+        out = blocks
+        for _ in range(levels):
+            out = supersample_blocks(out, 1, layers, vector_specs)
+        return out
+    return blocks.select(*in_cols).mapInPandas(_ss, out_schema)
+
+
+def lod_cut_blocks(
+    blocks: DataFrame,
+    min_exponent: int,
+    exponents: list[int] | None = None,
+    max_span_bits: int = 12,
+) -> DataFrame:
+    """J3+MinExponent on the block path: per-location finest level with
+    ``e >= min_exponent`` — ``query.lod_cut`` semantics (Query.fs:372-380:
+    a cell is dropped iff ANY finer sample covers its area; partial
+    coverage drops the whole cell, no fragmenting) over a mixed-exponent
+    block table.
+
+    Handles BOTH block layouts: constant-width packs (``pack_blocks`` at
+    several exponents: w fixed, block coords shift) and pyramid output
+    (``pyramid_blocks``: bx/by fixed, w halves per level) — anchoring is
+    WORLD-based: every block maps to the grid of the largest block world
+    extent present, so one repartition co-locates all shadowing
+    interactions. In-kernel, finer levels' occupancy unions onto a fine
+    canvas (ascending exponents) and each coarser block tests "any finer
+    sample under my cell" with one reshape-any; surviving cells keep their
+    values untouched. Single-exponent anchors pass through whole.
+    """
+    blocks = blocks.filter(F.col("e") >= F.lit(int(min_exponent)))
+    if exponents is not None:
+        exps = sorted({int(x) for x in exponents if x >= min_exponent})
+        if len(exps) <= 1:
+            return blocks
+    # block world size exponent: log2(w) + e per row; the anchor grid is the
+    # coarsest one present (one tiny distinct over block metadata)
+    we = blocks.select(F.col("w"), F.col("e")).distinct().collect()
+    if not we:
+        return blocks
+    sl2 = max(int(r["w"]).bit_length() - 1 + int(r["e"]) for r in we)
+    if len({int(r["e"]) for r in we}) <= 1:
+        return blocks
+    layers, _ = _block_layers(blocks)
+    vector_specs = resolve_vector_specs(layers)
+    int_layers = {
+        n for n, t in blocks.dtypes
+        if t == "array<bigint>" and n in layers and n not in vector_specs
+    }
+    masked = set(int_layers) | {
+        n for n, s in vector_specs.items() if s.kind == "intcolor"
+    }
+    chans = {n: (vector_specs[n].channels if n in vector_specs else 1) for n in layers}
+    data_cols = ["occ", *[
+        c for n in layers for c in ((n, f"{n}_mask") if n in masked else (n,))
+    ]]
+    # anchor = block origin's cell coordinate at the coarsest world grid:
+    # (bx * w) is the origin in level-e cells; shift to level-sl2 cells
+    u = blocks.select(
+        F.expr(f"shiftright(bx * w, {sl2} - e)").alias("abx"),
+        F.expr(f"shiftright(`by` * w, {sl2} - e)").alias("aby"),
+        "bx", "by", F.col("e").cast("int").alias("e"),
+        F.col("w").cast("int").alias("w"), *data_cols,
+    )
+    fields = ["bx long", "by long", "e int", "w int", "n_samples long",
+              "occ array<boolean>"]
+    for n in layers:
+        if n in masked:
+            fields.append(f"{n} array<long>")
+            fields.append(f"{n}_mask array<boolean>")
+        else:
+            fields.append(f"{n} array<double>")
+    out_schema = ", ".join(fields)
+    names = [f.split(" ")[0] for f in fields]
+
+    def _emit_row(out: dict, row, occ_keep: np.ndarray) -> None:
+        if not occ_keep.any():
+            return
+        flat = occ_keep.ravel()
+        out["bx"].append(int(row["bx"]))
+        out["by"].append(int(row["by"]))
+        out["e"].append(int(row["e"]))
+        out["w"].append(int(row["w"]))
+        out["n_samples"].append(int(flat.sum()))
+        out["occ"].append(flat)
+        for n in layers:
+            k = chans[n]
+            v = np.asarray(row[n])
+            if n in masked:
+                m = np.asarray(row[f"{n}_mask"], dtype=bool) & flat
+                mk = np.repeat(m, k) if k > 1 else m
+                out[n].append(np.where(mk, v, 0))
+                out[f"{n}_mask"].append(m)
+            else:
+                dk = np.repeat(flat, k) if k > 1 else flat
+                out[n].append(np.where(dk, v, np.nan))
+
+    def _cut_group(g: pd.DataFrame, abx: int, aby: int, out: dict) -> None:
+        e_lo = int(g["e"].min())
+        span = sl2 - e_lo
+        if span > max_span_bits:
+            raise ValueError(
+                f"lod_cut_blocks: anchor span {span} exceeds "
+                f"max_span_bits={max_span_bits}"
+            )
+        W = 1 << span  # anchor extent in fine (e_lo-level) cells
+        X0, Y0 = abx * W, aby * W
+        occ_union = np.zeros((W, W), dtype=bool)  # finer levels, fine-res
+        for e in sorted(g["e"].unique()):
+            rows = g[g["e"] == e]
+            sc = 1 << (e - e_lo)
+            for _, row in rows.iterrows():
+                w = int(row["w"])
+                occ = np.asarray(row["occ"], dtype=bool).reshape(w, w)
+                if e == e_lo:
+                    _emit_row(out, row, occ)  # finest level: never shadowed
+                else:
+                    ox = (int(row["bx"]) * w << (e - e_lo)) - X0
+                    oy = (int(row["by"]) * w << (e - e_lo)) - Y0
+                    sub = occ_union[oy:oy + w * sc, ox:ox + w * sc]
+                    shadowed = sub.reshape(w, sc, w, sc).any(axis=(1, 3))
+                    _emit_row(out, row, occ & ~shadowed)
+            # this level's ORIGINAL occupancy shadows coarser levels
+            for _, row in rows.iterrows():
+                w = int(row["w"])
+                occ = np.asarray(row["occ"], dtype=bool).reshape(w, w)
+                ox = (int(row["bx"]) * w << (e - e_lo)) - X0
+                oy = (int(row["by"]) * w << (e - e_lo)) - Y0
+                occ_union[oy:oy + w * sc, ox:ox + w * sc] |= (
+                    np.repeat(np.repeat(occ, sc, 0), sc, 1) if sc > 1 else occ
+                )
+
+    def _kernel(iterator):
+        batches = list(iterator)
+        if not batches:
+            return
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        if not len(pdf):
+            return
+        out: dict[str, list] = {n: [] for n in names}
+        for (abx, aby), g in pdf.groupby(["abx", "aby"], sort=False):
+            if int(g["e"].min()) == int(g["e"].max()):
+                for _, row in g.iterrows():
+                    _emit_row(out, row, np.asarray(row["occ"], dtype=bool))
+            else:
+                _cut_group(g, int(abx), int(aby), out)
+        if out["bx"]:
+            yield pd.DataFrame(out)
+
+    return u.repartition("abx", "aby").mapInPandas(_kernel, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # probe routing over blocks: point lookup / batched kNN without unpacking
 # ---------------------------------------------------------------------------

@@ -398,3 +398,45 @@ def test_vector_layers_mixed_merge_matches_merge_samples(spark, dom):
     )
     got = B.unpack_blocks(m)
     assert _vcells(got) == _vcells(exp)
+
+
+def test_supersample_blocks_matches_supersample_once(spark):
+    """A2 on the block path: each cell's value duplicates into its 4
+    children (Layer.fs:210-241) — parity with pyramid.supersample_once,
+    including int masks and two levels."""
+    from aardvark_geometry_quadtree_spark.operators.pyramid import supersample_once
+
+    s = _mk(spark, 71, n=120, span=16).withColumn("e", F.lit(2).cast("int"))
+    exp1 = supersample_once(s)
+    got1 = B.unpack_blocks(
+        B.supersample_blocks(B.pack_blocks(s, bits=2), 1),
+        layer_types={"height": "double", "n": "bigint"},
+    )
+    assert _cells(got1) == _cells(exp1)
+    exp2 = supersample_once(exp1)
+    got2 = B.unpack_blocks(
+        B.supersample_blocks(B.pack_blocks(s, bits=2), 2),
+        layer_types={"height": "double", "n": "bigint"},
+    )
+    assert _cells(got2) == _cells(exp2)
+
+
+def test_lod_cut_blocks_matches_lod_cut(spark):
+    """Per-location finest level over a mixed-exponent block table ==
+    query.lod_cut on the unpacked rows (partial coverage drops the whole
+    coarse cell, no fragmenting)."""
+    from aardvark_geometry_quadtree_spark.operators.query import lod_cut
+
+    base = _mk(spark, 81, n=150, span=24).drop("n")
+    blk = B.pack_blocks(base, bits=3)
+    pyr = B.pyramid_blocks(blk, levels=2, include_base=True)
+    samples = B.unpack_blocks(pyr, layer_types={"height": "double"})
+    for min_e in (0, 1):
+        exp = lod_cut(samples, min_e, exponents=[0, 1, 2])
+        got = B.unpack_blocks(
+            B.lod_cut_blocks(pyr, min_e, exponents=[0, 1, 2]),
+            layer_types={"height": "double"},
+        )
+        e_ = {k: v for k, v in _cells(exp, layers=("height",)).items()}
+        g_ = {k: v for k, v in _cells(got, layers=("height",)).items()}
+        assert g_ == e_, min_e
