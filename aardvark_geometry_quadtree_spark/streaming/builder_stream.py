@@ -60,3 +60,70 @@ def start_builder_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def start_block_ingest_stream(
+    pages_stream: DataFrame,
+    points_path: str,
+    blocks_path: str,
+    checkpoint_path: str,
+    extent: float = 1024.0,
+    e: int = 0,
+    bits: int = 8,
+    part_shift: int = 4,
+):
+    """Incremental crawl ingest onto the BLOCK staging path (the streaming
+    analogue of ``pages_to_points`` -> ``points_to_blocks``).
+
+    Per micro-batch (foreachBatch + checkpoint = exactly-once):
+
+    1. the batch's pages project to geocoded INT points (the only
+       string-touching step, same contract as the batch ingest) and append
+       to the durable points table;
+    2. only the coarse PARTITIONS touched by this batch (``pbx = bx >>
+       part_shift``) are re-histogrammed from the full points table
+       (semi-join prune) and rewritten via dynamic partition overwrite —
+       the rebuild granularity must equal the overwrite granularity, or
+       untouched blocks sharing a partition with a touched one would
+       vanish; cells aggregate correctly across batches because the
+       histogram recomputes from ALL staged points of the touched
+       partitions, never by merging partial histograms.
+
+    The result at ``blocks_path`` is always equal to
+    ``points_to_blocks(all points so far)`` restricted to written
+    partitions — differential-tested against the batch path.
+    """
+    from ..sources.webpages import geocode, pages_to_points, points_to_blocks
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        pts = pages_to_points(geocode(batch, extent=extent), e=e)
+        pts.write.mode("append").parquet(points_path)
+        shift = bits + part_shift
+        touched = pts.select(
+            F.shiftright(F.col("cx"), shift).alias("pbx"),
+            F.shiftright(F.col("cy"), shift).alias("pby"),
+        ).distinct()
+        staged = spark.read.parquet(points_path).select(
+            "*",
+            F.shiftright(F.col("cx"), shift).alias("pbx"),
+            F.shiftright(F.col("cy"), shift).alias("pby"),
+        )
+        affected = staged.join(
+            F.broadcast(touched), ["pbx", "pby"], "left_semi"
+        ).drop("pbx", "pby")
+        rebuilt = points_to_blocks(affected, e=e, bits=bits)
+        (
+            rebuilt.withColumn("pbx", F.shiftright(F.col("bx"), part_shift))
+            .withColumn("pby", F.shiftright(F.col("by"), part_shift))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pbx", "pby")
+            .parquet(blocks_path)
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

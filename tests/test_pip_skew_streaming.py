@@ -88,3 +88,40 @@ def test_streaming_builder(spark, tmp_path):
     assert out2.count() == 64
     v = out2.filter((F.col("cx") == 0) & (F.col("cy") == 0)).collect()[0]["height"]
     assert v == 1.0  # patch 0 wrote first (Layer.fs:399-421 first-writer rule)
+
+
+def test_block_ingest_stream_matches_batch_ingest(spark, tmp_path):
+    """Streaming micro-batch block ingest over two batches equals the batch
+    pages_to_blocks over the union of all pages (cells re-histogrammed from
+    staged points, never partial-merged)."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import (
+        geocode, pages_to_blocks, synth_webpages)
+    from aardvark_geometry_quadtree_spark.streaming.builder_stream import (
+        start_block_ingest_stream)
+
+    src = str(tmp_path / "pages_in")
+    pts = str(tmp_path / "points")
+    blk = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt2")
+
+    p1 = synth_webpages(spark, 1500, nsites=40, seed=5)
+    p1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(p1.schema).parquet(src)
+    q = start_block_ingest_stream(stream, pts, blk, ckpt, extent=128.0, bits=3).start()
+    q.awaitTermination(120)
+
+    p2 = synth_webpages(spark, 1500, nsites=40, seed=6)
+    p2.write.mode("append").parquet(src)
+    q2 = start_block_ingest_stream(stream, pts, blk, ckpt, extent=128.0, bits=3).start()
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(blk).drop("pbx", "pby")
+    exp = pages_to_blocks(geocode(p1.unionByName(p2), extent=128.0), e=0, bits=3)
+    def key(df):
+        return {
+            (r["bx"], r["by"]): (r["n_samples"], tuple(r["occ"]),
+                                  tuple(None if v is None or v != v else round(v, 9) for v in r["height"]),
+                                  tuple(r["n_pages"]))
+            for r in df.collect()
+        }
+    assert key(got) == key(exp)
