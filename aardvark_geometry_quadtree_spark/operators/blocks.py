@@ -52,6 +52,11 @@ from .build import _INT_BUFFER_TYPES, packable_layer_types
 
 _META_COLS = ("bx", "by", "e", "w", "n_samples", "occ")
 
+# integer-family block payload types (they carry a {name}_mask): wide
+# (array<bigint>) and narrow (array<int>) block schemas both count
+_INT_ARRAY_TYPES = {"array<bigint>", "array<int>", "array<smallint>", "array<tinyint>"}
+_FLOAT_ARRAY_TYPES = {"array<double>", "array<float>"}
+
 
 # ---------------------------------------------------------------------------
 # vector layers (Normals3f/3d, Colors3b/4b/3f/4f, Bilinear4*): fixed-width
@@ -109,14 +114,15 @@ def resolve_vector_specs(layers: list[str]) -> dict[str, VectorSpec]:
 
 def _block_layers(blocks: DataFrame) -> tuple[list[str], set[str]]:
     """Infer (layer names, integer-family subset) from a block frame's
-    schema: ``array<bigint>`` payloads are integer-family (they carry a
-    ``{name}_mask``), ``array<double>`` are float-family."""
+    schema: integer-array payloads (wide ``array<bigint>`` or narrow
+    ``array<int>``) are integer-family (they carry a ``{name}_mask``),
+    float arrays (``array<double>`` / ``array<float>``) are float-family."""
     dt = dict(blocks.dtypes)
     layers = [
         c for c in blocks.columns
         if c not in _META_COLS and not c.endswith("_mask")
     ]
-    int_layers = {c for c in layers if dt[c] == "array<bigint>"}
+    int_layers = {c for c in layers if dt[c] in _INT_ARRAY_TYPES}
     return layers, int_layers
 
 
@@ -139,6 +145,11 @@ def pack_blocks(
     ``w*w*channels`` CELL-MAJOR buffers (``i*k + ch``): float kinds as
     ``array<double>`` with all-NaN cells for holes, ``intcolor`` as
     ``array<long>`` plus a per-cell ``{name}_mask``.
+
+    Packed-format contract (float vectors): hole-ness is carried by CHANNEL
+    0 — a defined cell never has NaN there. Input values violating that
+    (NaN channel 0, other channels defined) are normalized to layer holes
+    at pack time, so unpack always agrees with pack.
     """
     layers = layers or [
         c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")
@@ -226,6 +237,20 @@ def pack_blocks(
                     vv = np.stack(pdf[name][defined].to_list()).astype(
                         np.int64 if spec.kind == "intcolor" else np.float64
                     )
+                    if spec.kind != "intcolor":
+                        # packed-format contract: a defined float-vector
+                        # cell never carries NaN in channel 0 (unpack and
+                        # every kernel test channel 0 for hole-ness). A
+                        # value arriving with NaN channel 0 is normalized
+                        # to a LAYER HOLE here — pack/unpack round-trips
+                        # instead of silently resurfacing as a mis-read.
+                        ch0_ok = ~np.isnan(vv[:, 0])
+                        if not ch0_ok.all():
+                            vv = vv[ch0_ok]
+                            keep = np.flatnonzero(defined)[ch0_ok]
+                            defined = np.zeros_like(defined)
+                            defined[keep] = True
+                            dcodes, didx = codes[defined], idx[defined]
                 else:
                     vv = np.empty((0, k))
                 if spec.kind == "intcolor":
@@ -256,6 +281,76 @@ def pack_blocks(
     return keyed.repartition("bx", "by", "e").mapInPandas(_pack_partition, out_schema)
 
 
+def _registry_type(n: str) -> str | None:
+    from ..registry import SEMANTICS
+
+    sem = SEMANTICS.get(n)
+    return sem.spark_type if sem is not None else None
+
+
+def _explode_cells(
+    blocks: DataFrame,
+    layers: list[str],
+    int_layers: set[str],
+    vector_specs: dict[str, VectorSpec],
+    layer_types: dict[str, str] | None,
+    carry: list[str],
+) -> DataFrame:
+    """Shared cell-unpack plan: JVM ``posexplode`` over zipped scalar
+    arrays, vector layers re-cut from their flat cell-major buffers with
+    ``slice`` at the exploded position (per-cell hole test: the intcolor
+    mask element, or channel 0's NaN for float kinds — the pack-format
+    contract). ``carry`` columns (e.g. probe context) ride through.
+    Used by :func:`unpack_blocks` and the kNN round unpack — one
+    implementation, so vector layers read correctly on BOTH paths."""
+    zipped = [F.col("occ")]
+    for n in layers:
+        if n in vector_specs:
+            continue
+        zipped.append(F.col(n))
+        if n in int_layers:
+            zipped.append(F.col(f"{n}_mask"))
+    vcarry = []
+    for n, spec in vector_specs.items():
+        if n in layers:
+            vcarry.append(n)
+            if spec.kind == "intcolor":
+                vcarry.append(f"{n}_mask")
+    df = blocks.select(
+        *carry, "bx", "by", "e", "w", *vcarry,
+        F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
+    ).filter(F.col("z.occ"))
+    cols = [
+        *(F.col(c) for c in carry),
+        (F.col("bx") * F.col("w") + F.pmod(F.col("pos"), F.col("w"))).cast("long").alias("cx"),
+        (F.col("by") * F.col("w") + (F.col("pos") / F.col("w")).cast("int")).cast("long").alias("cy"),
+        F.col("e"),
+    ]
+    for n in layers:
+        spec = vector_specs.get(n)
+        if spec is not None:
+            k = spec.channels
+            arr = F.slice(F.col(n), F.col("pos") * k + 1, k)
+            if spec.kind == "intcolor":
+                col = F.when(F.element_at(F.col(f"{n}_mask"), F.col("pos") + 1), arr)
+            else:
+                first = F.element_at(F.col(n), F.col("pos") * k + 1)
+                col = F.when(first.isNull() | F.isnan(first), F.lit(None)).otherwise(arr)
+            t = (layer_types or {}).get(n) or _registry_type(n)
+            if t:
+                col = col.cast(t)
+        else:
+            if n in int_layers:
+                col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}")).otherwise(F.lit(None))
+            else:
+                v = F.col(f"z.{n}")
+                col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+            if layer_types and n in layer_types:
+                col = col.cast(layer_types[n])
+        cols.append(col.alias(n))
+    return df.select(*cols)
+
+
 def unpack_blocks(
     blocks: DataFrame,
     layers: list[str] | None = None,
@@ -273,57 +368,8 @@ def unpack_blocks(
     if vector_specs is None:
         vector_specs = resolve_vector_specs(layers)
     scalar = [n for n in layers if n not in vector_specs]
-    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in scalar}
-    zipped = [F.col("occ")]
-    for n in scalar:
-        zipped.append(F.col(n))
-        if n in int_layers:
-            zipped.append(F.col(f"{n}_mask"))
-    carry = []
-    for n in vector_specs:
-        if n in layers:
-            carry.append(n)
-            if vector_specs[n].kind == "intcolor":
-                carry.append(f"{n}_mask")
-    df = blocks.select(
-        "bx", "by", "e", "w", *carry,
-        F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
-    ).filter(F.col("z.occ"))
-    cols = [
-        (F.col("bx") * F.col("w") + F.pmod(F.col("pos"), F.col("w"))).cast("long").alias("cx"),
-        (F.col("by") * F.col("w") + (F.col("pos") / F.col("w")).cast("int")).cast("long").alias("cy"),
-        F.col("e"),
-    ]
-
-    def _default_vec_type(n: str) -> str | None:
-        from ..registry import SEMANTICS
-
-        sem = SEMANTICS.get(n)
-        return sem.spark_type if sem is not None else None
-
-    for n in layers:
-        spec = vector_specs.get(n)
-        if spec is not None:
-            k = spec.channels
-            arr = F.slice(F.col(n), F.col("pos") * k + 1, k)
-            if spec.kind == "intcolor":
-                col = F.when(F.element_at(F.col(f"{n}_mask"), F.col("pos") + 1), arr)
-            else:
-                first = F.element_at(F.col(n), F.col("pos") * k + 1)
-                col = F.when(first.isNull() | F.isnan(first), F.lit(None)).otherwise(arr)
-            t = (layer_types or {}).get(n) or _default_vec_type(n)
-            if t:
-                col = col.cast(t)
-        else:
-            if n in int_layers:
-                col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}")).otherwise(F.lit(None))
-            else:
-                v = F.col(f"z.{n}")
-                col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
-            if layer_types and n in layer_types:
-                col = col.cast(layer_types[n])
-        cols.append(col.alias(n))
-    return df.select(*cols)
+    int_layers = {n for n, t in blocks.dtypes if t in _INT_ARRAY_TYPES and n in scalar}
+    return _explode_cells(blocks, layers, int_layers, vector_specs, layer_types, [])
 
 
 def merge_blocks(
@@ -623,11 +669,15 @@ def merge_blocks_mixed(
     ]]
 
     def _tag(df: DataFrame, src: int) -> DataFrame:
+        # n_samples rides along so the passthrough path (anchors touched by
+        # one side only — the DOMINANT case when two crawls barely overlap)
+        # emits rows without touching a single payload array
         return df.select(
             F.expr(f"shiftright(bx, {e_max} - e)").alias("abx"),
             F.expr(f"shiftright(`by`, {e_max} - e)").alias("aby"),
             "bx", "by", F.col("e").cast("int").alias("e"),
             F.col("w").cast("int").alias("w"),
+            F.col("n_samples").cast("long").alias("n_samples"),
             F.lit(src).alias("src"), *data_cols,
         )
 
@@ -645,17 +695,19 @@ def merge_blocks_mixed(
     names = [f.split(" ")[0] for f in fields]
     dom_val = dominance.value
 
-    def _passthrough(g: pd.DataFrame, out: dict) -> None:
-        for _, row in g.iterrows():
-            occ = np.asarray(row["occ"], dtype=bool)
-            out["bx"].append(int(row["bx"]))
-            out["by"].append(int(row["by"]))
-            out["e"].append(int(row["e"]))
-            out["w"].append(int(row["w"]))
-            out["n_samples"].append(int(occ.sum()))
-            out["occ"].append(occ)
-            for c in data_cols[1:]:
-                out[c].append(row[c])
+    def _passthrough(g: pd.DataFrame) -> pd.DataFrame:
+        # untouched blocks pass through COLUMN-wise: no per-row loop, no
+        # array materialization (n_samples was carried through the tag)
+        d = {
+            "bx": g["bx"].to_numpy(np.int64),
+            "by": g["by"].to_numpy(np.int64),
+            "e": g["e"].to_numpy(np.int64),
+            "w": g["w"].to_numpy(np.int64),
+            "n_samples": g["n_samples"].to_numpy(np.int64),
+        }
+        for c in data_cols:
+            d[c] = g[c].to_numpy(object)
+        return pd.DataFrame(d)[names]
 
     def _expand(a: np.ndarray, s: int) -> np.ndarray:
         return np.repeat(np.repeat(a, s, axis=0), s, axis=1) if s > 1 else a
@@ -685,22 +737,30 @@ def merge_blocks_mixed(
         }
         defs = {s: {n: np.zeros((W, W), dtype=bool) for n in layers} for s in (1, 2)}
 
-        for _, row in g.iterrows():
-            sd, e = int(row["src"]), int(row["e"])
+        # plain numpy column iteration (not iterrows: building a pandas
+        # Series per row costs more than the painting below at small w)
+        g_src = g["src"].to_numpy(np.int64)
+        g_e = g["e"].to_numpy(np.int64)
+        g_bx = g["bx"].to_numpy(np.int64)
+        g_by = g["by"].to_numpy(np.int64)
+        g_occ = g["occ"].to_list()
+        g_lay = {c: g[c].to_list() for c in data_cols[1:]}
+        for i in range(len(g)):
+            sd, e = int(g_src[i]), int(g_e[i])
             sc = 1 << (e - e_lo)
-            ox = (int(row["bx"]) * w << (e - e_lo)) - X0
-            oy = (int(row["by"]) * w << (e - e_lo)) - Y0
+            ox = (int(g_bx[i]) * w << (e - e_lo)) - X0
+            oy = (int(g_by[i]) * w << (e - e_lo)) - Y0
             sl = (slice(oy, oy + w * sc), slice(ox, ox + w * sc))
-            occ = _expand(np.asarray(row["occ"], dtype=bool).reshape(w, w), sc)
+            occ = _expand(np.asarray(g_occ[i], dtype=bool).reshape(w, w), sc)
             pres[sd][sl] |= occ
             srce[sd][sl][occ] = e
             for n in layers:
                 k = chans[n]
                 if n in masked:
-                    v = np.asarray(row[n], dtype=np.int64).reshape(w, w, k)
-                    m = np.asarray(row[f"{n}_mask"], dtype=bool).reshape(w, w)
+                    v = np.asarray(g_lay[n][i], dtype=np.int64).reshape(w, w, k)
+                    m = np.asarray(g_lay[f"{n}_mask"][i], dtype=bool).reshape(w, w)
                 else:
-                    v = np.asarray(row[n], dtype=np.float64).reshape(w, w, k)
+                    v = np.asarray(g_lay[n][i], dtype=np.float64).reshape(w, w, k)
                     m = ~np.isnan(v[:, :, 0])
                 # supersample: repeat rows/cols of the cell grid (channel
                 # axis untouched — Layer.fs:210-241 duplicates whole values)
@@ -790,25 +850,38 @@ def merge_blocks_mixed(
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
         if not len(pdf):
             return
-        out: dict[str, list] = {n: [] for n in names}
-        for _, g in pdf.groupby(["abx", "aby"], sort=False):
-            if g["src"].nunique() == 1:
-                _passthrough(g, out)
-                continue
+        frames: list[pd.DataFrame] = []
+        # classify whole-batch: anchors touched by one side pass through in
+        # ONE column-wise emit (vectorized nunique transform, no group loop)
+        one_sided = (
+            pdf.groupby(["abx", "aby"], sort=False)["src"].transform("nunique") == 1
+        ).to_numpy()
+        if one_sided.any():
+            frames.append(_passthrough(pdf[one_sided]))
+        mx = pdf[~one_sided]
+        if len(mx):
             # confine work to the LOCAL exponent span: interactions stay
             # within shared ancestor blocks at the group's own max exponent
-            e_top = int(g["e"].max())
-            sub = g.assign(
-                _sbx=np.right_shift(g["bx"].to_numpy(np.int64), (e_top - g["e"]).to_numpy(np.int64)),
-                _sby=np.right_shift(g["by"].to_numpy(np.int64), (e_top - g["e"]).to_numpy(np.int64)),
+            e_top = mx.groupby(["abx", "aby"], sort=False)["e"].transform("max")
+            sh = (e_top.to_numpy(np.int64) - mx["e"].to_numpy(np.int64))
+            sub = mx.assign(
+                _etop=e_top.to_numpy(np.int64),
+                _sbx=np.right_shift(mx["bx"].to_numpy(np.int64), sh),
+                _sby=np.right_shift(mx["by"].to_numpy(np.int64), sh),
             )
-            for (sbx, sby), sg in sub.groupby(["_sbx", "_sby"], sort=False):
-                if sg["src"].nunique() == 1:
-                    _passthrough(sg, out)
-                else:
-                    _resolve(sg, int(sbx), int(sby), e_top, out)
-        if out["bx"]:
-            yield pd.DataFrame(out)
+            sub_keys = ["abx", "aby", "_sbx", "_sby"]
+            sub_one = (
+                sub.groupby(sub_keys, sort=False)["src"].transform("nunique") == 1
+            ).to_numpy()
+            if sub_one.any():
+                frames.append(_passthrough(sub[sub_one]))
+            out: dict[str, list] = {n: [] for n in names}
+            for (_, _, sbx, sby), sg in sub[~sub_one].groupby(sub_keys, sort=False):
+                _resolve(sg, int(sbx), int(sby), int(sg["_etop"].iloc[0]), out)
+            if out["bx"]:
+                frames.append(pd.DataFrame(out)[names])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return u.repartition("abx", "aby").mapInPandas(_kernel, out_schema)
 
@@ -950,9 +1023,19 @@ def pyramid_blocks(
                     if kinds[n] == "intcolor":
                         m = np.fix(m)  # per-channel truncating mean
                     elif kinds[n] == "normal":
+                        # degenerate case — exactly cancelling children
+                        # (zero sum): the reference's `.Normalized`
+                        # (Sampling.fs:36) yields a NaN vector, i.e. an
+                        # unusable value. Canonical undefined here is a
+                        # HOLE: the cell drops out of this and coarser
+                        # levels (which then average the remaining defined
+                        # children) — matching registry._avg_normal, a
+                        # deliberate documented deviation from the
+                        # reference's NaN propagation.
                         norm = np.sqrt((m * m).sum(axis=-1, keepdims=True))
                         with np.errstate(invalid="ignore", divide="ignore"):
-                            m = m / np.where(norm > 0, norm, 1.0)
+                            m = m / norm
+                        d = d & (norm[..., 0] != 0)
                     vals[n] = np.where(d[..., None], m, 0.0).reshape(n_rows, -1)
                 defs[n] = d.reshape(n_rows, -1)
             occ = occ.reshape(n_rows, -1)
@@ -1129,7 +1212,8 @@ def lod_cut_blocks(
         F.expr(f"shiftright(bx * w, {sl2} - e)").alias("abx"),
         F.expr(f"shiftright(`by` * w, {sl2} - e)").alias("aby"),
         "bx", "by", F.col("e").cast("int").alias("e"),
-        F.col("w").cast("int").alias("w"), *data_cols,
+        F.col("w").cast("int").alias("w"),
+        F.col("n_samples").cast("long").alias("n_samples"), *data_cols,
     )
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
@@ -1142,21 +1226,22 @@ def lod_cut_blocks(
     out_schema = ", ".join(fields)
     names = [f.split(" ")[0] for f in fields]
 
-    def _emit_row(out: dict, row, occ_keep: np.ndarray) -> None:
+    def _emit_row(out: dict, bx: int, by: int, e: int, w: int,
+                  lay: dict, occ_keep: np.ndarray) -> None:
         if not occ_keep.any():
             return
         flat = occ_keep.ravel()
-        out["bx"].append(int(row["bx"]))
-        out["by"].append(int(row["by"]))
-        out["e"].append(int(row["e"]))
-        out["w"].append(int(row["w"]))
+        out["bx"].append(bx)
+        out["by"].append(by)
+        out["e"].append(e)
+        out["w"].append(w)
         out["n_samples"].append(int(flat.sum()))
         out["occ"].append(flat)
         for n in layers:
             k = chans[n]
-            v = np.asarray(row[n])
+            v = np.asarray(lay[n])
             if n in masked:
-                m = np.asarray(row[f"{n}_mask"], dtype=bool) & flat
+                m = np.asarray(lay[f"{n}_mask"], dtype=bool) & flat
                 mk = np.repeat(m, k) if k > 1 else m
                 out[n].append(np.where(mk, v, 0))
                 out[f"{n}_mask"].append(m)
@@ -1175,29 +1260,56 @@ def lod_cut_blocks(
         W = 1 << span  # anchor extent in fine (e_lo-level) cells
         X0, Y0 = abx * W, aby * W
         occ_union = np.zeros((W, W), dtype=bool)  # finer levels, fine-res
+        # numpy column iteration — per-row work here is genuine array
+        # painting/testing; iterrows' per-row Series build is pure overhead
         for e in sorted(g["e"].unique()):
             rows = g[g["e"] == e]
-            sc = 1 << (e - e_lo)
-            for _, row in rows.iterrows():
-                w = int(row["w"])
-                occ = np.asarray(row["occ"], dtype=bool).reshape(w, w)
+            sc = 1 << (int(e) - e_lo)
+            r_w = rows["w"].to_numpy(np.int64)
+            r_bx = rows["bx"].to_numpy(np.int64)
+            r_by = rows["by"].to_numpy(np.int64)
+            r_occ = rows["occ"].to_list()
+            r_lay = {c: rows[c].to_list() for c in data_cols[1:]}
+            occs = []
+            for i in range(len(rows)):
+                w = int(r_w[i])
+                occ = np.asarray(r_occ[i], dtype=bool).reshape(w, w)
+                occs.append(occ)
+                lay = {c: r_lay[c][i] for c in r_lay}
                 if e == e_lo:
-                    _emit_row(out, row, occ)  # finest level: never shadowed
+                    # finest level: never shadowed
+                    _emit_row(out, int(r_bx[i]), int(r_by[i]), int(e), w,
+                              lay, occ)
                 else:
-                    ox = (int(row["bx"]) * w << (e - e_lo)) - X0
-                    oy = (int(row["by"]) * w << (e - e_lo)) - Y0
+                    ox = (int(r_bx[i]) * w << (int(e) - e_lo)) - X0
+                    oy = (int(r_by[i]) * w << (int(e) - e_lo)) - Y0
                     sub = occ_union[oy:oy + w * sc, ox:ox + w * sc]
                     shadowed = sub.reshape(w, sc, w, sc).any(axis=(1, 3))
-                    _emit_row(out, row, occ & ~shadowed)
+                    _emit_row(out, int(r_bx[i]), int(r_by[i]), int(e), w,
+                              lay, occ & ~shadowed)
             # this level's ORIGINAL occupancy shadows coarser levels
-            for _, row in rows.iterrows():
-                w = int(row["w"])
-                occ = np.asarray(row["occ"], dtype=bool).reshape(w, w)
-                ox = (int(row["bx"]) * w << (e - e_lo)) - X0
-                oy = (int(row["by"]) * w << (e - e_lo)) - Y0
+            for i in range(len(rows)):
+                w = int(r_w[i])
+                occ = occs[i]
+                ox = (int(r_bx[i]) * w << (int(e) - e_lo)) - X0
+                oy = (int(r_by[i]) * w << (int(e) - e_lo)) - Y0
                 occ_union[oy:oy + w * sc, ox:ox + w * sc] |= (
                     np.repeat(np.repeat(occ, sc, 0), sc, 1) if sc > 1 else occ
                 )
+
+    def _passthrough(g: pd.DataFrame) -> pd.DataFrame:
+        # single-exponent anchors (the whole table, when only one exponent
+        # is present under an anchor): column-wise emit, no per-row work
+        d = {
+            "bx": g["bx"].to_numpy(np.int64),
+            "by": g["by"].to_numpy(np.int64),
+            "e": g["e"].to_numpy(np.int64),
+            "w": g["w"].to_numpy(np.int64),
+            "n_samples": g["n_samples"].to_numpy(np.int64),
+        }
+        for c in data_cols:
+            d[c] = g[c].to_numpy(object)
+        return pd.DataFrame(d)[names]
 
     def _kernel(iterator):
         batches = list(iterator)
@@ -1206,15 +1318,20 @@ def lod_cut_blocks(
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
         if not len(pdf):
             return
-        out: dict[str, list] = {n: [] for n in names}
-        for (abx, aby), g in pdf.groupby(["abx", "aby"], sort=False):
-            if int(g["e"].min()) == int(g["e"].max()):
-                for _, row in g.iterrows():
-                    _emit_row(out, row, np.asarray(row["occ"], dtype=bool))
-            else:
+        frames: list[pd.DataFrame] = []
+        ge = pdf.groupby(["abx", "aby"], sort=False)["e"]
+        single = (ge.transform("min") == ge.transform("max")).to_numpy()
+        if single.any():
+            frames.append(_passthrough(pdf[single]))
+        mx = pdf[~single]
+        if len(mx):
+            out: dict[str, list] = {n: [] for n in names}
+            for (abx, aby), g in mx.groupby(["abx", "aby"], sort=False):
                 _cut_group(g, int(abx), int(aby), out)
-        if out["bx"]:
-            yield pd.DataFrame(out)
+            if out["bx"]:
+                frames.append(pd.DataFrame(out)[names])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return u.repartition("abx", "aby").mapInPandas(_kernel, out_schema)
 
@@ -1252,7 +1369,11 @@ def sample_positions_blocks(
 
     if layers is None:
         layers, _ = _block_layers(blocks)
-    int_layers = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in layers}
+    vector_specs = resolve_vector_specs(layers)
+    int_layers = {
+        n for n, t in blocks.dtypes
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
+    }
     exps = (
         sorted({int(x) for x in exponents})
         if exponents is not None
@@ -1288,13 +1409,30 @@ def sample_positions_blocks(
     cols = [F.col("pid"), F.col("px"), F.col("py"),
             F.col("cx"), F.col("cy"), F.col("e")]
     for n in layers:
-        v = F.element_at(F.col(n), idx)
-        if n in int_layers:
-            col = F.when(F.element_at(F.col(f"{n}_mask"), idx), v)
+        spec = vector_specs.get(n)
+        if spec is not None:
+            # vector layers are flat w*w*k cell-major buffers: the probed
+            # cell is slice [(idx-1)*k+1, k], holes tested per the pack
+            # contract (intcolor mask element / channel-0 NaN) — a plain
+            # element_at here would read the wrong element of the buffer
+            k = spec.channels
+            arr = F.slice(F.col(n), (idx - F.lit(1)) * k + F.lit(1), k)
+            if spec.kind == "intcolor":
+                col = F.when(F.element_at(F.col(f"{n}_mask"), idx), arr)
+            else:
+                first = F.element_at(F.col(n), (idx - F.lit(1)) * k + F.lit(1))
+                col = F.when(first.isNull() | F.isnan(first), F.lit(None)).otherwise(arr)
+            t = (layer_types or {}).get(n) or _registry_type(n)
+            if t:
+                col = col.cast(t)
         else:
-            col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
-        if layer_types and n in layer_types:
-            col = col.cast(layer_types[n])
+            v = F.element_at(F.col(n), idx)
+            if n in int_layers:
+                col = F.when(F.element_at(F.col(f"{n}_mask"), idx), v)
+            else:
+                col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+            if layer_types and n in layer_types:
+                col = col.cast(layer_types[n])
         cols.append(col.alias(n))
     out = hit.select(*cols)
     win = W.partitionBy("pid").orderBy(F.col("e").asc())
@@ -1336,6 +1474,11 @@ def knn_join_blocks(
     from pyspark.sql import Window as W
 
     layers, _ = _block_layers(blocks)
+    vector_specs = resolve_vector_specs(layers)
+    int_l = {
+        n for n, t in blocks.dtypes
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
+    }
     if stage_input:
         # each ring round re-joins the block table: cut once (callers with
         # an already-staged table pass stage_input=False)
@@ -1388,32 +1531,12 @@ def knn_join_blocks(
             "inner",
         ).drop("_pcx", "_pcy", "_dx", "_dy", "_rcx", "_rcy")
         # unpack ONLY the matched blocks: JVM posexplode over this round's
-        # candidates (probe context carried through)
-        zipped = [F.col("occ")]
-        int_l = {n for n, t in blocks.dtypes if t == "array<bigint>" and n in layers}
-        for n in layers:
-            zipped.append(F.col(n))
-            if n in int_l:
-                zipped.append(F.col(f"{n}_mask"))
-        ex = matched.select(
-            "pid", "px", "py", "bx", "by", "e", "w",
-            F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
-        ).filter(F.col("z.occ"))
-        cells = [
-            (F.col("bx") * F.col("w") + F.pmod(F.col("pos"), F.col("w"))).cast("long").alias("cx"),
-            (F.col("by") * F.col("w") + (F.col("pos") / F.col("w")).cast("int")).cast("long").alias("cy"),
-            F.col("e"),
-        ]
-        for n in layers:
-            if n in int_l:
-                col = F.when(F.col(f"z.{n}_mask"), F.col(f"z.{n}"))
-            else:
-                v = F.col(f"z.{n}")
-                col = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
-            if layer_types and n in layer_types:
-                col = col.cast(layer_types[n])
-            cells.append(col.alias(n))
-        cand = ex.select("pid", "px", "py", *cells).withColumn("dist", dist)
+        # candidates (probe context carried through) — the shared
+        # _explode_cells plan, so vector layers read correctly here too
+        cand = _explode_cells(
+            matched, layers, int_l, vector_specs, layer_types,
+            carry=["pid", "px", "py"],
+        ).withColumn("dist", dist)
         topk = (
             cand.withColumn("_rn", F.row_number().over(w_ord))
             .filter(F.col("_rn") <= k)
@@ -1432,10 +1555,12 @@ def knn_join_blocks(
     unresolved = positions.select("pid", "px", "py")
     resolved_parts = []
     r = max(1, int(start_radius))
+    r_last = 0  # largest base radius actually certified (0 = none ran)
     while r <= max_rings:
         done = _round(unresolved, side, r, covering=False)
         resolved_parts.append(done.select(*out_cols))
         unresolved = unresolved.join(done.select("pid").distinct(), "pid", "left_anti")
+        r_last = r
         if unresolved.limit(1).count() == 0:
             unresolved = None
             break
@@ -1458,7 +1583,13 @@ def knn_join_blocks(
                 )
             )
         ).collect()[0][0]
+        # the base loop certified no resolution within r_last * side, so any
+        # escalated round with r2*side2 <= that radius is a provable no-op
+        # (each one a join + count job): start at the first geometrically
+        # coarser ring that actually extends the certified radius
         r2, side2 = 2, side * 2.0
+        while r2 * side2 <= float(r_last) * side:
+            side2 *= 2.0
         while True:
             covering = (r2 * side2) >= float(needed)
             done = _round(unresolved, side2, r2, covering=covering)
@@ -1595,15 +1726,20 @@ def polygon_count_blocks(
     def _count(iterator):
         for pdf in iterator:
             n = 0
-            for row in pdf.itertuples(index=False):
-                w = int(row.w)
-                side = 2.0 ** int(row.e)
-                occ = np.asarray(row.occ, dtype=bool)
+            # batched across the Arrow batch: one (rows, w*w) position grid
+            # per width group, every edge test a single vectorized pass —
+            # no per-row Python (itertuples paid per-BLOCK overhead)
+            for wv, g in pdf.groupby("w", sort=False):
+                w = int(wv)
+                side = (2.0 ** g["e"].to_numpy(np.float64))[:, None]
+                bx = g["bx"].to_numpy(np.float64)[:, None]
+                by = g["by"].to_numpy(np.float64)[:, None]
+                occ = _stack(g["occ"], bool)
                 i = np.arange(w * w)
-                px = (int(row.bx) * w + (i % w) + rx) * side
-                py = (int(row.by) * w + (i // w) + ry) * side
-                wind = np.zeros(w * w, dtype=np.int64)
-                on_edge = np.zeros(w * w, dtype=bool)
+                px = (bx * w + (i % w)[None, :] + rx) * side
+                py = (by * w + (i // w)[None, :] + ry) * side
+                wind = np.zeros(px.shape, dtype=np.int64)
+                on_edge = np.zeros(px.shape, dtype=bool)
                 for j in range(len(verts)):
                     x1, y1 = verts[j]
                     x2, y2 = verts[(j + 1) % len(verts)]

@@ -619,10 +619,12 @@ def knn_join(
     # local density is low (each round costs a join + a count job; the
     # result is radius-schedule independent, only round count changes)
     r = max(1, int(start_radius))
+    r_last = 0  # largest base radius actually certified (0 = none ran)
     while r <= max_rings:
         done = _round(unresolved, side, r, covering=False)
         resolved_parts.append(done.select(*out_cols))
         unresolved = unresolved.join(done.select("pid").distinct(), "pid", "left_anti")
+        r_last = r
         if unresolved.limit(1).count() == 0:
             unresolved = None
             break
@@ -654,7 +656,13 @@ def knn_join(
                 )
             )
         ).collect()[0][0]
+        # the base loop certified no resolution within r_last * side, so
+        # escalated rounds with r2*side2 <= that radius are provable no-ops
+        # (each a join + count job): start at the first coarser ring that
+        # extends the certified radius
         r2, side2 = 2, side * 2.0
+        while r2 * side2 <= float(r_last) * side:
+            side2 *= 2.0
         while True:
             covering = (r2 * side2) >= float(needed)
             done = _round(unresolved, side2, r2, covering=covering)

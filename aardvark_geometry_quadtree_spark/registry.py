@@ -45,10 +45,18 @@ def _avg_vec(n: int) -> Callable[[Column], Column]:
 
 def _avg_normal(c: Column) -> Column:
     """Normals: average then re-normalize (resampleV3fNorm/V3dNorm,
-    Sampling.fs:35-39)."""
+    Sampling.fs:35-39).
+
+    Degenerate case — exactly cancelling children (zero sum): the
+    reference's ``.Normalized`` yields a NaN vector, i.e. an unusable
+    value. This engine's canonical undefined encoding is NULL, so the
+    result is a LAYER HOLE instead (deliberate, documented deviation: the
+    reference NaN-poisons coarser levels, we drop the cell and coarser
+    levels average the remaining defined children). Under ANSI mode the
+    raw 0/0 would error, so the guard is also required for execution."""
     ax, ay, az = (F.avg(F.element_at(c, i + 1)) for i in range(3))
     norm = F.sqrt(ax * ax + ay * ay + az * az)
-    return F.array(ax / norm, ay / norm, az / norm)
+    return F.when(norm != 0, F.array(ax / norm, ay / norm, az / norm))
 
 
 def _avg_color(n: int) -> Callable[[Column], Column]:

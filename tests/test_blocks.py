@@ -440,3 +440,90 @@ def test_lod_cut_blocks_matches_lod_cut(spark):
         e_ = {k: v for k, v in _cells(exp, layers=("height",)).items()}
         g_ = {k: v for k, v in _cells(got, layers=("height",)).items()}
         assert g_ == e_, min_e
+
+
+def test_vector_layers_point_lookup_blocks(spark):
+    """Block-routed point lookup reads VECTOR layers via flat-buffer slice
+    (not a scalar element_at, which would read the wrong element of the
+    w*w*k buffer) — parity with query.sample_positions, no Generate."""
+    from aardvark_geometry_quadtree_spark.operators.query import sample_positions
+
+    s = _mk_vec(spark, 3)
+    pos = spark.createDataFrame(
+        [(0, 2.5, 3.5), (1, 5.5, 1.5), (2, 99.0, 99.0), (3, 0.5, 0.5)],
+        "pid long, px double, py double",
+    )
+    exp = sample_positions(s, pos, exponents=[0])
+    got = B.sample_positions_blocks(B.pack_blocks(s, bits=2), pos, bits=2, exponents=[0])
+
+    def key(df):
+        out = {}
+        for r in df.collect():
+            nrm = None if r["Normals3f"] is None else tuple(round(float(x), 4) for x in r["Normals3f"])
+            col = None if r["Colors4b"] is None else tuple(int(x) for x in r["Colors4b"])
+            out[r["pid"]] = (r["cx"], r["cy"], r["e"], nrm, col)
+        return out
+
+    assert key(got) == key(exp)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+
+
+def test_vector_layers_knn_blocks(spark):
+    """Batched kNN over blocks carries vector layers correctly through the
+    shared _explode_cells round unpack — parity with knn_join."""
+    from aardvark_geometry_quadtree_spark.operators.query import knn_join
+
+    s = _mk_vec(spark, 4)
+    pos = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 200.0, 200.0)], "pid long, px double, py double"
+    )
+    exp = knn_join(s, pos, k=3, ring_exponent=3, max_rings=4)
+    got = B.knn_join_blocks(B.pack_blocks(s, bits=2), pos, k=3, bits=2,
+                            ring_exponent=3, max_rings=4)
+
+    def key(df):
+        out = {}
+        for r in df.collect():
+            nrm = None if r["Normals3f"] is None else tuple(round(float(x), 4) for x in r["Normals3f"])
+            col = None if r["Colors4b"] is None else tuple(int(x) for x in r["Colors4b"])
+            out.setdefault(r["pid"], []).append(
+                (round(r["dist"], 9), r["cx"], r["cy"], nrm, col)
+            )
+        return {k: sorted(v, key=str) for k, v in out.items()}
+
+    assert key(got) == key(exp)
+
+
+def test_pack_float_vector_channel0_nan_is_hole(spark):
+    """Pack-format contract: a float-vector value arriving with NaN in
+    channel 0 is normalized to a LAYER HOLE at pack time (the cell stays
+    present) — unpack then agrees with pack instead of mis-reading."""
+    rows = [(0, 0, 0, [float("nan"), 1.0, 2.0]), (1, 0, 0, [0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "cx long, cy long, e int, Normals3f array<float>")
+    back = B.unpack_blocks(B.pack_blocks(df, bits=2))
+    vals = {(r["cx"], r["cy"]): r["Normals3f"] for r in back.collect()}
+    assert set(vals) == {(0, 0), (1, 0)}  # both cells occupied
+    assert vals[(0, 0)] is None           # layer hole by contract
+    assert tuple(round(float(x), 4) for x in vals[(1, 0)]) == (0.5, 0.5, 0.5)
+
+
+def test_pyramid_blocks_cancelling_normals_hole_both_paths(spark):
+    """Exactly opposing child normals: the reference takes `.Normalized` of
+    the raw sum (Sampling.fs:36) -> NaN vector, an unusable value. The
+    engine canonicalizes that to a LAYER HOLE on BOTH paths (registry
+    _avg_normal and the block pyramid) — a deliberate documented deviation
+    from the reference's NaN propagation; coarser levels then average the
+    remaining defined children."""
+    from aardvark_geometry_quadtree_spark.operators.pyramid import downsample_once
+
+    rows = [(0, 0, 0, [1.0, 0.0, 0.0]), (1, 0, 0, [-1.0, 0.0, 0.0]),
+            (2, 2, 0, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "cx long, cy long, e int, Normals3f array<float>")
+    reg = {(r["cx"], r["cy"]): r["Normals3f"] for r in downsample_once(df).collect()}
+    assert reg[(0, 0)] is None  # registry: degenerate -> hole
+    assert tuple(round(float(x), 4) for x in reg[(1, 1)]) == (0.0, 1.0, 0.0)
+    pyr = B.pyramid_blocks(B.pack_blocks(df, bits=2), levels=1)
+    got = {(r["cx"], r["cy"]): r["Normals3f"] for r in B.unpack_blocks(pyr).collect()}
+    assert got[(0, 0)] is None  # block path: same hole
+    assert tuple(round(float(x), 4) for x in got[(1, 1)]) == (0.0, 1.0, 0.0)
