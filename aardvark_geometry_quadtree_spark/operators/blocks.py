@@ -57,6 +57,32 @@ _META_COLS = ("bx", "by", "e", "w", "n_samples", "occ")
 _INT_ARRAY_TYPES = {"array<bigint>", "array<int>", "array<smallint>", "array<tinyint>"}
 _FLOAT_ARRAY_TYPES = {"array<double>", "array<float>"}
 
+# numpy dtype of each block payload array type — kernels derive their
+# buffer dtypes from the INPUT schema, so wide (float64/int64) and narrow
+# (float32/int32) block tables flow through every operator unchanged
+_NP_OF = {
+    "array<double>": np.float64, "array<float>": np.float32,
+    "array<bigint>": np.int64, "array<int>": np.int32,
+    "array<smallint>": np.int16, "array<tinyint>": np.int8,
+}
+
+
+def _layer_sql_types(blocks: DataFrame, layers: list[str]) -> dict[str, str]:
+    """Per-layer Spark array type of a block frame (schema-derived): the
+    single source of truth every kernel's output schema and numpy buffer
+    dtypes come from. Byte-diet rationale: the binding scaling phases sit
+    at the host's DRAM-bandwidth envelope, so halving payload bytes
+    (float32/int32 vs float64/int64) is the remaining lever on both
+    absolute wall-time and N->4N efficiency — see pack_blocks(narrow=)."""
+    dt = dict(blocks.dtypes)
+    out = {}
+    for n in layers:
+        t = dt[n]
+        if t not in _NP_OF:
+            raise ValueError(f"_layer_sql_types: unsupported payload type {t!r} for layer '{n}'")
+        out[n] = t
+    return out
+
 
 # ---------------------------------------------------------------------------
 # vector layers (Normals3f/3d, Colors3b/4b/3f/4f, Bilinear4*): fixed-width
@@ -131,6 +157,7 @@ def pack_blocks(
     bits: int,
     layers: list[str] | None = None,
     vector_specs: dict[str, VectorSpec] | None = None,
+    narrow: bool = False,
 ) -> DataFrame:
     """Samples -> aligned blocks: one row per ``(cx >> bits, cy >> bits, e)``
     with row-major ``2^bits x 2^bits`` array payloads.
@@ -150,6 +177,15 @@ def pack_blocks(
     0 — a defined cell never has NaN there. Input values violating that
     (NaN channel 0, other channels defined) are normalized to layer holes
     at pack time, so unpack always agrees with pack.
+
+    ``narrow=True`` packs the byte-diet schema — float payloads as
+    ``array<float>`` (float32), integer payloads as ``array<int>``
+    (int32) — HALVING payload bytes per block. Every downstream block
+    operator derives its buffer dtypes from the input schema, so narrow
+    tables flow through merge/pyramid/supersample/LoD-cut/probe paths
+    unchanged; ``unpack_blocks(layer_types=...)`` casts back to exact
+    source types. Use it for the crawl-scale staging path: the binding
+    phases there are DRAM-bandwidth-bound, so bytes are wall-time.
     """
     layers = layers or [
         c for c in samples.columns if c not in ("cx", "cy", "e", "patch_id")
@@ -160,6 +196,8 @@ def pack_blocks(
     types = packable_layer_types(samples, scalar_layers)
     int_layers = {n for n in scalar_layers if types[n] in _INT_BUFFER_TYPES}
     w = 1 << bits
+    f_sql, i_sql = ("float", "int") if narrow else ("double", "long")
+    npf, npi = (np.float32, np.int32) if narrow else (np.float64, np.int64)
 
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
@@ -167,15 +205,15 @@ def pack_blocks(
         spec = vector_specs.get(name)
         if spec is not None:
             if spec.kind == "intcolor":
-                fields.append(f"{name} array<long>")
+                fields.append(f"{name} array<{i_sql}>")
                 fields.append(f"{name}_mask array<boolean>")
             else:
-                fields.append(f"{name} array<double>")
+                fields.append(f"{name} array<{f_sql}>")
         elif name in int_layers:
-            fields.append(f"{name} array<long>")
+            fields.append(f"{name} array<{i_sql}>")
             fields.append(f"{name}_mask array<boolean>")
         else:
-            fields.append(f"{name} array<double>")
+            fields.append(f"{name} array<{f_sql}>")
     out_schema = ", ".join(fields)
 
     keyed = samples.select(
@@ -254,9 +292,9 @@ def pack_blocks(
                 else:
                     vv = np.empty((0, k))
                 if spec.kind == "intcolor":
-                    buf = np.zeros((nb, w * w * k), dtype=np.int64)
+                    buf = np.zeros((nb, w * w * k), dtype=npi)
                 else:
-                    buf = np.full((nb, w * w * k), np.nan)
+                    buf = np.full((nb, w * w * k), np.nan, dtype=npf)
                 for ch in range(k):
                     buf[dcodes, didx * k + ch] = vv[:, ch]
                 out[name] = list(buf)
@@ -265,14 +303,14 @@ def pack_blocks(
                     dm[dcodes, didx] = True
                     out[f"{name}_mask"] = list(dm)
             elif name in int_layers:
-                buf = np.zeros((nb, w * w), dtype=np.int64)
+                buf = np.zeros((nb, w * w), dtype=npi)
                 buf[dcodes, didx] = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
                 dm = np.zeros((nb, w * w), dtype=bool)
                 dm[dcodes, didx] = True
                 out[name] = list(buf)
                 out[f"{name}_mask"] = list(dm)
             else:
-                buf = np.full((nb, w * w), np.nan)
+                buf = np.full((nb, w * w), np.nan, dtype=npf)
                 buf[dcodes, didx] = pdf[name][defined].to_numpy(np.float64)
                 out[name] = list(buf)
         names_out = [f.split(" ")[0] for f in fields]
@@ -417,7 +455,7 @@ def merge_blocks(
     vector_specs = {n: s for n, s in resolve_vector_specs(layers).items()}
     int_layers = {
         n for n, t in first.dtypes
-        if t == "array<bigint>" and n in layers and n not in vector_specs
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
     }
     masked = set(int_layers) | {
         n for n, s in vector_specs.items() if s.kind == "intcolor"
@@ -435,7 +473,10 @@ def merge_blocks(
 
     j = side_cols(first, "a").join(side_cols(second, "b"), key, "full_outer")
     if engine == "kernel":
-        return _merge_blocks_kernel(j, layers, int_layers, win_first, vector_specs)
+        return _merge_blocks_kernel(
+            j, layers, int_layers, win_first, vector_specs,
+            _layer_sql_types(first, layers),
+        )
     if engine != "sql":
         raise ValueError(f"merge_blocks: unknown engine '{engine}'")
     if vector_specs:
@@ -498,6 +539,7 @@ def _stack(series: pd.Series, dtype) -> np.ndarray:
 def _merge_blocks_kernel(
     j: DataFrame, layers, int_layers, win_first: bool,
     vector_specs: dict[str, VectorSpec] | None = None,
+    sql_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Winner selection as a vectorized numpy kernel over the joined rows
     (see :func:`merge_blocks` engine='kernel'). Partition-local — adds no
@@ -513,15 +555,15 @@ def _merge_blocks_kernel(
     masked = set(int_layers) | {
         n for n, s in vector_specs.items() if s.kind == "intcolor"
     }
+    # output payload types follow the INPUT schema (wide or narrow)
+    sql_types = sql_types or {n: ("array<bigint>" if n in masked else "array<double>")
+                              for n in layers}
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
-        spec = vector_specs.get(n)
-        if (spec is not None and spec.kind == "intcolor") or n in int_layers:
-            fields.append(f"{n} array<long>")
+        fields.append(f"{n} {sql_types[n]}")
+        if n in masked:
             fields.append(f"{n}_mask array<boolean>")
-        else:
-            fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
     names = [f.split(" ")[0] for f in fields]
 
@@ -552,8 +594,7 @@ def _merge_blocks_kernel(
         }
         for n in layers:
             spec = vector_specs.get(n)
-            is_int = (spec is not None and spec.kind == "intcolor") or n in int_layers
-            dt = np.int64 if is_int else np.float64
+            dt = _NP_OF[sql_types[n]]
             va, vb = _stack(g[f"_a_{n}"], dt), _stack(g[f"_b_{n}"], dt)
             wv, lv = (va, vb) if win_first else (vb, va)
             # vector buffers are w*w*k: expand the per-cell win mask by k
@@ -646,7 +687,7 @@ def merge_blocks_mixed(
     vector_specs = resolve_vector_specs(layers)
     int_layers = {
         n for n, t in first.dtypes
-        if t == "array<bigint>" and n in layers and n not in vector_specs
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
     }
     masked = set(int_layers) | {
         n for n, s in vector_specs.items() if s.kind == "intcolor"
@@ -683,14 +724,14 @@ def merge_blocks_mixed(
 
     u = _tag(first, 1).unionByName(_tag(second, 2))
 
+    sql_types = _layer_sql_types(first, layers)
+    np_dt = {n: _NP_OF[sql_types[n]] for n in layers}
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
+        fields.append(f"{n} {sql_types[n]}")
         if n in masked:
-            fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
-        else:
-            fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
     names = [f.split(" ")[0] for f in fields]
     dom_val = dominance.value
@@ -731,8 +772,7 @@ def merge_blocks_mixed(
         pres = {s: np.zeros((W, W), dtype=bool) for s in (1, 2)}
         srce = {s: np.full((W, W), -127, dtype=np.int16) for s in (1, 2)}
         vals = {
-            s: {n: np.zeros((W, W, chans[n]), dtype=(np.int64 if n in masked else np.float64))
-                for n in layers}
+            s: {n: np.zeros((W, W, chans[n]), dtype=np_dt[n]) for n in layers}
             for s in (1, 2)
         }
         defs = {s: {n: np.zeros((W, W), dtype=bool) for n in layers} for s in (1, 2)}
@@ -757,10 +797,10 @@ def merge_blocks_mixed(
             for n in layers:
                 k = chans[n]
                 if n in masked:
-                    v = np.asarray(g_lay[n][i], dtype=np.int64).reshape(w, w, k)
+                    v = np.asarray(g_lay[n][i], dtype=np_dt[n]).reshape(w, w, k)
                     m = np.asarray(g_lay[f"{n}_mask"][i], dtype=bool).reshape(w, w)
                 else:
-                    v = np.asarray(g_lay[n][i], dtype=np.float64).reshape(w, w, k)
+                    v = np.asarray(g_lay[n][i], dtype=np_dt[n]).reshape(w, w, k)
                     m = ~np.isnan(v[:, :, 0])
                 # supersample: repeat rows/cols of the cell grid (channel
                 # axis untouched — Layer.fs:210-241 duplicates whole values)
@@ -838,10 +878,10 @@ def merge_blocks_mixed(
                     d = np.where(ta, da[n][sl], db[n][sl]) & occ
                     dm = np.repeat(d, k).reshape(d.shape + (k,)) if k > 1 else d
                     if n in masked:
-                        out[n].append(np.where(dm, v, 0).ravel())
+                        out[n].append(np.where(dm, v, 0).astype(np_dt[n], copy=False).ravel())
                         out[f"{n}_mask"].append(d.ravel())
                     else:
-                        out[n].append(np.where(dm, v, np.nan).ravel())
+                        out[n].append(np.where(dm, v, np.nan).astype(np_dt[n], copy=False).ravel())
 
     def _kernel(iterator):
         batches = list(iterator)
@@ -934,7 +974,7 @@ def pyramid_blocks(
         vector_specs = resolve_vector_specs(layers)
     int_layers = {
         n for n, t in blocks.dtypes
-        if t == "array<bigint>" and n in layers and n not in vector_specs
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
     }
     masked = set(int_layers) | {
         n for n, s in vector_specs.items() if s.kind == "intcolor"
@@ -942,14 +982,14 @@ def pyramid_blocks(
     in_cols = ["bx", "by", "e", "w", "occ", *[
         c for n in layers for c in ((n, f"{n}_mask") if n in masked else (n,))
     ]]
+    sql_types = _layer_sql_types(blocks, layers)
+    np_dt = {n: _NP_OF[sql_types[n]] for n in layers}
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
+        fields.append(f"{n} {sql_types[n]}")
         if n in masked:
-            fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
-        else:
-            fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
     chans = {n: (vector_specs[n].channels if n in vector_specs else 1) for n in layers}
     kinds = {n: (vector_specs[n].kind if n in vector_specs else None) for n in layers}
@@ -968,11 +1008,13 @@ def pyramid_blocks(
         for n in layers:
             k = chans[n]
             dmask = np.repeat(defs[n], k, axis=1) if k > 1 else defs[n]
+            # means are computed in float64 for precision; output buffers
+            # cast back to the (possibly narrow) input payload type
             if n in masked:
-                out[n].append(np.where(dmask, vals[n], 0).astype(np.int64))
+                out[n].append(np.where(dmask, vals[n], 0).astype(np_dt[n]))
                 out[f"{n}_mask"].append(defs[n])
             else:
-                out[n].append(np.where(dmask, vals[n], np.nan))
+                out[n].append(np.where(dmask, vals[n], np.nan).astype(np_dt[n]))
 
     def _pyr_group(g: pd.DataFrame, w: int, out) -> None:
         """Whole-group pyramid: every level is one reshape-reduce over the
@@ -1081,7 +1123,7 @@ def supersample_blocks(
         vector_specs = resolve_vector_specs(layers)
     int_layers = {
         n for n, t in blocks.dtypes
-        if t == "array<bigint>" and n in layers and n not in vector_specs
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
     }
     masked = set(int_layers) | {
         n for n, s in vector_specs.items() if s.kind == "intcolor"
@@ -1090,14 +1132,14 @@ def supersample_blocks(
     in_cols = ["bx", "by", "e", "w", "occ", *[
         c for n in layers for c in ((n, f"{n}_mask") if n in masked else (n,))
     ]]
+    sql_types = _layer_sql_types(blocks, layers)
+    np_dt = {n: _NP_OF[sql_types[n]] for n in layers}
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
+        fields.append(f"{n} {sql_types[n]}")
         if n in masked:
-            fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
-        else:
-            fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
     names = [f.split(" ")[0] for f in fields]
 
@@ -1119,8 +1161,7 @@ def supersample_blocks(
                 occ = _stack(grp["occ"], bool)
                 data = {}
                 for n in layers:
-                    dt = np.int64 if n in masked else np.float64
-                    data[n] = _stack(grp[n], dt)
+                    data[n] = _stack(grp[n], np_dt[n])
                     if n in masked:
                         data[f"{n}_mask"] = _stack(grp[f"{n}_mask"], bool)
                 occ2 = _cells2(occ, w, 1)
@@ -1197,7 +1238,7 @@ def lod_cut_blocks(
     vector_specs = resolve_vector_specs(layers)
     int_layers = {
         n for n, t in blocks.dtypes
-        if t == "array<bigint>" and n in layers and n not in vector_specs
+        if t in _INT_ARRAY_TYPES and n in layers and n not in vector_specs
     }
     masked = set(int_layers) | {
         n for n, s in vector_specs.items() if s.kind == "intcolor"
@@ -1215,14 +1256,14 @@ def lod_cut_blocks(
         F.col("w").cast("int").alias("w"),
         F.col("n_samples").cast("long").alias("n_samples"), *data_cols,
     )
+    sql_types = _layer_sql_types(blocks, layers)
+    np_dt = {n: _NP_OF[sql_types[n]] for n in layers}
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
     for n in layers:
+        fields.append(f"{n} {sql_types[n]}")
         if n in masked:
-            fields.append(f"{n} array<long>")
             fields.append(f"{n}_mask array<boolean>")
-        else:
-            fields.append(f"{n} array<double>")
     out_schema = ", ".join(fields)
     names = [f.split(" ")[0] for f in fields]
 
@@ -1243,11 +1284,11 @@ def lod_cut_blocks(
             if n in masked:
                 m = np.asarray(lay[f"{n}_mask"], dtype=bool) & flat
                 mk = np.repeat(m, k) if k > 1 else m
-                out[n].append(np.where(mk, v, 0))
+                out[n].append(np.where(mk, v, 0).astype(np_dt[n], copy=False))
                 out[f"{n}_mask"].append(m)
             else:
                 dk = np.repeat(flat, k) if k > 1 else flat
-                out[n].append(np.where(dk, v, np.nan))
+                out[n].append(np.where(dk, v, np.nan).astype(np_dt[n], copy=False))
 
     def _cut_group(g: pd.DataFrame, abx: int, aby: int, out: dict) -> None:
         e_lo = int(g["e"].min())

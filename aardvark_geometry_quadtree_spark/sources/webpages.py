@@ -114,7 +114,7 @@ def text_hash_check(pages_a: DataFrame, pages_b: DataFrame) -> int:
     return ha.join(hb, "url", "inner").filter(F.col("h_a") != F.col("h_b")).count()
 
 
-def pages_to_points(pages_xy: DataFrame, e: int = 0) -> DataFrame:
+def pages_to_points(pages_xy: DataFrame, e: int = 0, narrow: bool = False) -> DataFrame:
     """The string-touching projection of ingest: geocoded pages -> INT
     points ``(cx, cy, tl)``.
 
@@ -125,25 +125,47 @@ def pages_to_points(pages_xy: DataFrame, e: int = 0) -> DataFrame:
     (small int columns): the scan phase runs once per crawl and every
     later block build / merge / re-tile starts from the staged points —
     see BENCH/scaling.py's ingest_scan / ingest_blocks split.
+
+    ``narrow=True`` stages int32 coords + float32 text length — HALF the
+    staged bytes. Exactness: cell coords fit int32 at any practical
+    extent, and text lengths are integers far below 2^24, so float32
+    carries them exactly; downstream histograms are bit-identical.
     """
     from ..functions import cells as C
 
+    ct, ft = ("int", "float") if narrow else ("long", "double")
     return pages_xy.select(
-        C.cell_coord(F.col("x"), e).alias("cx"),
-        C.cell_coord(F.col("y"), e).alias("cy"),
-        F.length("text").cast("double").alias("tl"),
+        C.cell_coord(F.col("x"), e).cast(ct).alias("cx"),
+        C.cell_coord(F.col("y"), e).cast(ct).alias("cy"),
+        F.length("text").cast(ft).alias("tl"),
     )
 
 
-def points_to_blocks(points: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
+def points_to_blocks(
+    points: DataFrame, e: int = 0, bits: int = 8, narrow: bool = False
+) -> DataFrame:
     """Int points ``(cx, cy, tl)`` -> aligned block raster: one hash
     partition by BLOCK key, then vectorized ``np.bincount`` histograms into
     dense array payloads (see :func:`pages_to_blocks` for the full
-    rationale)."""
+    rationale).
+
+    FULLY vectorized across a partition: one ``np.unique`` assigns every
+    point a block code and the whole partition histograms in ONE flat
+    bincount per statistic — no per-group loop, and payloads are emitted
+    as numpy arrays (a ``.tolist()`` of 65k cells per block was pure
+    serialization overhead on the hot ingest path).
+
+    ``narrow=True`` emits the byte-diet block schema (``array<float>``
+    heights, ``array<int>`` counts) — bit-identical values (text lengths
+    are small integers, exact in float32; counts fit int32), half the
+    payload bytes on the bandwidth-bound ingest_blocks phase.
+    """
     import numpy as np
     import pandas as pd
 
     w = 1 << bits
+    npf, npi = (np.float32, np.int32) if narrow else (np.float64, np.int64)
+    f_sql, i_sql = ("float", "int") if narrow else ("double", "long")
     keyed = points.select(
         F.shiftright(F.col("cx"), bits).alias("bx"),
         F.shiftright(F.col("cy"), bits).alias("by"),
@@ -151,13 +173,13 @@ def points_to_blocks(points: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
     )
     out_schema = (
         "bx long, by long, e int, w int, n_samples long, occ array<boolean>, "
-        "height array<double>, n_pages array<long>, n_pages_mask array<boolean>"
+        f"height array<{f_sql}>, n_pages array<{i_sql}>, n_pages_mask array<boolean>"
     )
 
-    # repartition + whole-partition kernel (one pandas frame per partition,
-    # groups sliced inside) instead of groupBy.applyInPandas — the per-GROUP
-    # invocation cost of applyInPandas (~5 ms) is pure overhead on block
-    # histograms; see operators/blocks.py pack_blocks for the measurement
+    # repartition + whole-partition kernel (one pandas frame per partition)
+    # instead of groupBy.applyInPandas — the per-GROUP invocation cost of
+    # applyInPandas (~5 ms) is pure overhead on block histograms; see
+    # operators/blocks.py pack_blocks for the measurement
     def _hist(iterator):
         batches = list(iterator)
         if not batches:
@@ -165,34 +187,39 @@ def points_to_blocks(points: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
         if not len(pdf):
             return
-        out: dict[str, list] = {
-            k: [] for k in ("bx", "by", "e", "w", "n_samples", "occ",
-                            "height", "n_pages", "n_pages_mask")
-        }
-        for (bx, by), g in pdf.groupby(["bx", "by"], sort=False):
-            cx = g["cx"].to_numpy(np.int64)
-            cy = g["cy"].to_numpy(np.int64)
-            idx = (cy - int(by) * w) * w + (cx - int(bx) * w)
-            counts = np.bincount(idx, minlength=w * w)
-            sums = np.bincount(idx, weights=g["tl"].to_numpy(np.float64), minlength=w * w)
-            occ = counts > 0
-            with np.errstate(invalid="ignore", divide="ignore"):
-                height = np.where(occ, sums / np.maximum(counts, 1), np.nan)
-            out["bx"].append(int(bx))
-            out["by"].append(int(by))
-            out["e"].append(e)
-            out["w"].append(w)
-            out["n_samples"].append(int(occ.sum()))
-            out["occ"].append(occ.tolist())
-            out["height"].append(height.tolist())
-            out["n_pages"].append(counts.astype(np.int64).tolist())
-            out["n_pages_mask"].append(occ.tolist())
-        yield pd.DataFrame(out)
+        bx = pdf["bx"].to_numpy(np.int64)
+        by = pdf["by"].to_numpy(np.int64)
+        cx = pdf["cx"].to_numpy(np.int64)
+        cy = pdf["cy"].to_numpy(np.int64)
+        tl = pdf["tl"].to_numpy(np.float64)
+        keys = np.stack([bx, by], axis=1)
+        uniq, codes = np.unique(keys, axis=0, return_inverse=True)
+        nb = len(uniq)
+        idx = (cy - by * w) * w + (cx - bx * w)
+        flat = codes * (w * w) + idx
+        counts = np.bincount(flat, minlength=nb * w * w).reshape(nb, w * w)
+        sums = np.bincount(flat, weights=tl, minlength=nb * w * w).reshape(nb, w * w)
+        occ = counts > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            height = np.where(occ, sums / np.maximum(counts, 1), np.nan).astype(npf)
+        yield pd.DataFrame({
+            "bx": uniq[:, 0],
+            "by": uniq[:, 1],
+            "e": np.full(nb, e, dtype=np.int32),
+            "w": np.full(nb, w, dtype=np.int32),
+            "n_samples": occ.sum(axis=1),
+            "occ": list(occ),
+            "height": list(height),
+            "n_pages": list(counts.astype(npi)),
+            "n_pages_mask": list(occ),
+        })
 
     return keyed.repartition("bx", "by").mapInPandas(_hist, out_schema)
 
 
-def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame:
+def pages_to_blocks(
+    pages_xy: DataFrame, e: int = 0, bits: int = 8, narrow: bool = False
+) -> DataFrame:
     """Geocoded pages -> aligned block raster DIRECTLY — the scale-path
     ingest that never materializes a per-cell row set.
 
@@ -212,4 +239,4 @@ def pages_to_blocks(pages_xy: DataFrame, e: int = 0, bits: int = 8) -> DataFrame
     projection) and :func:`points_to_blocks` (int shuffle + histogram);
     stage the points frame between the two at scale.
     """
-    return points_to_blocks(pages_to_points(pages_xy, e), e, bits)
+    return points_to_blocks(pages_to_points(pages_xy, e, narrow), e, bits, narrow)

@@ -527,3 +527,86 @@ def test_pyramid_blocks_cancelling_normals_hole_both_paths(spark):
     got = {(r["cx"], r["cy"]): r["Normals3f"] for r in B.unpack_blocks(pyr).collect()}
     assert got[(0, 0)] is None  # block path: same hole
     assert tuple(round(float(x), 4) for x in got[(1, 1)]) == (0.0, 1.0, 0.0)
+
+
+def _f32(x):
+    import numpy as np
+    return None if x is None else float(np.float32(x))
+
+
+def test_narrow_blocks_parity(spark):
+    """narrow=True packs the byte-diet schema (array<float>/array<int>);
+    every block operator derives dtypes from the input schema, so narrow
+    tables flow through pack/unpack, same-e merge, cross-e merge, pyramid,
+    supersample, lod_cut and probe lookup with value parity (values here
+    are float32-exact; pyramid means match after one float64->float32
+    cast, computed in float64 either way)."""
+    from aardvark_geometry_quadtree_spark.operators.query import sample_positions
+
+    lt = {"height": "double", "n": "bigint"}
+    a, b = _mk(spark, 101), _mk(spark, 102)
+    na = B.pack_blocks(a, bits=3, narrow=True)
+    nb = B.pack_blocks(b, bits=3, narrow=True)
+    wa = B.pack_blocks(a, bits=3)
+    wb = B.pack_blocks(b, bits=3)
+    assert dict(na.dtypes)["height"] == "array<float>"
+    assert dict(na.dtypes)["n"] == "array<int>"
+    # roundtrip exact
+    assert _cells(B.unpack_blocks(na, layer_types=lt)) == _cells(a)
+    # same-exponent merge: narrow output schema, wide value parity
+    nm = B.merge_blocks(na, nb, "more_detailed_or_second")
+    wm = B.merge_blocks(wa, wb, "more_detailed_or_second")
+    assert dict(nm.dtypes)["height"] == "array<float>"
+    assert _cells(B.unpack_blocks(nm, layer_types=lt)) == _cells(B.unpack_blocks(wm, layer_types=lt))
+    # cross-exponent merge
+    coarse = b.withColumn("e", F.lit(1).cast("int"))
+    nc = B.pack_blocks(coarse, bits=3, narrow=True)
+    wc = B.pack_blocks(coarse, bits=3)
+    nx = B.merge_blocks_mixed(na, nc, "second")
+    wx = B.merge_blocks_mixed(wa, wc, "second")
+    assert dict(nx.dtypes)["n"] == "array<int>"
+    assert _cells(B.unpack_blocks(nx, layer_types=lt)) == _cells(B.unpack_blocks(wx, layer_types=lt))
+    # pyramid: means computed in float64 on both paths; narrow == f32(wide)
+    pn = _cells(B.unpack_blocks(B.pyramid_blocks(na, levels=2), layer_types=lt))
+    pw = _cells(B.unpack_blocks(B.pyramid_blocks(wa, levels=2), layer_types=lt))
+    assert set(pn) == set(pw)
+    for k in pw:
+        assert pn[k][0] == _f32(pw[k][0]), k
+        assert pn[k][1] == pw[k][1], k  # truncating int mean: identical
+    # supersample + lod_cut flow through
+    ss = B.unpack_blocks(B.supersample_blocks(na, 1), layer_types=lt)
+    assert ss.count() == 4 * B.unpack_blocks(na).count()
+    pyr = B.pyramid_blocks(na, levels=1, include_base=True)
+    cut = B.lod_cut_blocks(pyr, 0, exponents=[0, 1])
+    assert B.unpack_blocks(cut, layer_types=lt).count() == B.unpack_blocks(na).count()
+    # probe lookup over a narrow table
+    pos = spark.createDataFrame(
+        [(0, 3.5, 4.5), (1, -9.2, 7.9), (2, 1000.0, 1000.0)],
+        "pid long, px double, py double",
+    )
+    exp = sample_positions(a, pos, exponents=[0])
+    got = B.sample_positions_blocks(na, pos, bits=3, exponents=[0], layer_types=lt)
+    key = lambda df: {r["pid"]: (r["cx"], r["cy"], r["height"], r["n"]) for r in df.collect()}
+    assert key(got) == key(exp)
+
+
+def test_points_to_blocks_narrow_matches_wide(spark):
+    """Byte-diet ingest: narrow block histograms carry the same values as
+    wide (counts fit int32; heights match after one float64->float32
+    cast — the mean itself is computed in float64 on both paths)."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import (
+        geocode, pages_to_blocks, synth_webpages,
+    )
+
+    pages = geocode(synth_webpages(spark, 4000), extent=64.0)
+    lt = {"height": "double", "n_pages": "bigint"}
+    cw = _cells(B.unpack_blocks(pages_to_blocks(pages, bits=4), layer_types=lt),
+                layers=("height", "n_pages"))
+    nar = pages_to_blocks(pages, bits=4, narrow=True)
+    assert dict(nar.dtypes)["height"] == "array<float>"
+    assert dict(nar.dtypes)["n_pages"] == "array<int>"
+    cn = _cells(B.unpack_blocks(nar, layer_types=lt), layers=("height", "n_pages"))
+    assert set(cw) == set(cn)
+    for k in cw:
+        assert cn[k][0] == _f32(cw[k][0]), k
+        assert cn[k][1] == cw[k][1], k
