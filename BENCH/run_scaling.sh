@@ -36,7 +36,7 @@ run() {
     --conf spark.sql.warehouse.dir=/dev/shm/spark-wh \
     --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC" \
     --py-files "$ZIP" \
-    BENCH/scaling.py --cores "$cores" --pages "$PAGES" --extent "$EXTENT" 2>/dev/null | tail -1
+    BENCH/scaling.py --cores "$cores" --pages "$PAGES" --extent "$EXTENT" ${WIDE:+--wide} 2>/dev/null | tail -1
 }
 
 # The hypervisor throttles SUSTAINED load (invisible to guest steal
@@ -66,10 +66,27 @@ for i in $(seq "$REPS"); do
 done
 
 python - "$N_LO" "$N_HI" "$REPS" "${LO_RUNS[@]}" "${HI_RUNS[@]}" <<'EOF'
-import json, sys
+import json, os, sys
 n_lo, n_hi, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 rest = [json.loads(x) for x in sys.argv[4:]]
 lo, hi = rest[:reps], rest[reps:]
+
+# throttle gate: a leg is HEALTHY when its worst probe marker (spin + DRAM
+# stream, before AND after — degradation mid-leg counts) is within
+# HEALTH_FRAC of the best marker observed for that leg type this campaign.
+# A pair is CERTIFIED only when both legs are healthy — the automated form
+# of the manual "reject throttled windows" protocol (BENCH/BASELINE.md).
+HEALTH = float(os.environ.get("HEALTH_FRAC", "0.85"))
+
+def _health(runs, r, key):
+    mx = max(min(x[key]) for x in runs if x.get(key))
+    return round(min(r[key]) / mx, 3) if r.get(key) and mx else None
+
+def leg_health(runs, r):
+    return {
+        "spin": _health(runs, r, "probe_mloops_per_core"),
+        "bw": _health(runs, r, "probe_bw_gbps"),
+    }
 best_lo = min(lo, key=lambda r: r["wall_sec"])
 best_hi = min(hi, key=lambda r: r["wall_sec"])
 ratio = n_hi / n_lo
@@ -91,7 +108,12 @@ pairs = []
 for i in range(reps):
     eff = (lo[i]["wall_sec"] / hi[i]["wall_sec"]) / ratio
     s_lo, s_hi = steady(lo[i]), steady(hi[i])
+    lh, hh = leg_health(lo, lo[i]), leg_health(hi, hi[i])
+    marks = [v for d in (lh, hh) for v in d.values() if v is not None]
     pairs.append({
+        "lo_health": lh,
+        "hi_health": hh,
+        "certified": bool(marks) and min(marks) >= HEALTH,
         "phase_efficiency": {
             ph: phase_eff(lo[i], hi[i], ph) for ph in lo[i].get("phases", {})
         },
@@ -110,10 +132,14 @@ for i in range(reps):
     })
 best_pair = max(pairs, key=lambda p: p["efficiency"])
 best_steady = max(pairs, key=lambda p: p["steady_efficiency"] or 0)
+cert = [p for p in pairs if p["certified"]]
 out = {
     "n_lo": n_lo,
     "n_hi": n_hi,
     "reps": reps,
+    "health_frac": HEALTH,
+    "certified_pairs": len(cert),
+    "best_certified_efficiency": max((p["efficiency"] for p in cert), default=None),
     # raw per-leg records: pooled min-per-phase analysis needs every leg,
     # not just the best (host noise is one-sided, so per-phase minima are
     # the least-interference estimator — see BENCH/scaling_results.json)

@@ -80,7 +80,14 @@ def main() -> None:
     ap.add_argument("--bits", type=int, default=8, help="block = 2^bits x 2^bits cells")
     ap.add_argument("--extent", type=float, default=4096.0)
     ap.add_argument("--buckets", type=int, default=64)
+    # byte-diet staging (round 5): float32 heights / int32 counts / int32
+    # point coords — half the bytes on every data-movement phase. The
+    # binding phases sit AT the host's DRAM envelope, so bytes are
+    # wall-time AND scaling efficiency (the hi leg saturates first).
+    ap.add_argument("--wide", action="store_true",
+                    help="use float64/int64 payloads (pre-round-5 layout)")
     args = ap.parse_args()
+    narrow = not args.wide
 
     probe_before = _cpu_probe(args.cores)
     bw_before = _bw_probe(args.cores)
@@ -169,7 +176,7 @@ def main() -> None:
     t = time.perf_counter()
     for i in (1, 2):
         pages = spark.read.parquet(f"/dev/shm/spark-wh/pages_{i}")
-        pts = pages_to_points(geocode(pages, extent=args.extent), e=0)
+        pts = pages_to_points(geocode(pages, extent=args.extent), e=0, narrow=narrow)
         pts.write.mode("overwrite").parquet(f"/dev/shm/spark-wh/points_{i}")
     mark("ingest_scan", t)
 
@@ -179,7 +186,7 @@ def main() -> None:
     t = time.perf_counter()
     for i in (1, 2):
         pts = spark.read.parquet(f"/dev/shm/spark-wh/points_{i}")
-        blk = points_to_blocks(pts, e=0, bits=args.bits)
+        blk = points_to_blocks(pts, e=0, bits=args.bits, narrow=narrow)
         save_blocks_bucketed(blk.drop("n_pages", "n_pages_mask"),
                              f"crawl{i}_blk", n_buckets=args.buckets)
     mark("ingest_blocks", t)
@@ -218,6 +225,7 @@ def main() -> None:
             {
                 "cores": args.cores,
                 "pages": args.pages,
+                "narrow": narrow,
                 "rows": rows,
                 "setup_sec_untimed": setup_sec,
                 "wall_sec": round(wall, 2),

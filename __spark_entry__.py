@@ -38,7 +38,10 @@ from aardvark_geometry_quadtree_spark.operators.dedup import (
 )
 from aardvark_geometry_quadtree_spark.operators.blocks import (
     inside_box_blocks,
+    inside_cell_blocks,
     inside_polygon_blocks,
+    intersects_cell_blocks,
+    near_line_blocks,
     knn_join_blocks,
     lod_cut_blocks,
     merge_blocks,
@@ -415,6 +418,42 @@ def q_polygon_blocks(spark, sf_dir):
     )
 
 
+def q_near_line_blocks(spark, sf_dir):
+    """J8 via the block path: whole-block band prune (all four block
+    corners on one side — plain Catalyst filter on the block key) + exact
+    codegen distance on unpacked survivors; same oracle as q_near_line."""
+    s = _doc_samples(spark, sf_dir)
+    cells = near_line_blocks(pack_blocks(s, bits=4), 0.0, 0.0, 0.6, 0.8, 25.0)
+    return _r6(
+        cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
+        "height",
+    )
+
+
+def q_inside_cell_blocks(spark, sf_dir):
+    """J4 via the block path: block-extent-vs-query-cell prune + e <= qe,
+    then the exact integer containment predicate; same oracle as
+    q_inside_cell."""
+    s = _doc_samples(spark, sf_dir)
+    cells = inside_cell_blocks(pack_blocks(s, bits=4), -2, -2, 7)
+    return _r6(
+        cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
+        "height",
+    )
+
+
+def q_intersects_cell_blocks(spark, sf_dir):
+    """J5 via the block path incl. the supersampling fallback (query cell
+    finer than the data: the coarser containing sample's block survives
+    the extent prune); same oracle as q_intersects_cell."""
+    s = _doc_samples(spark, sf_dir)
+    cells = intersects_cell_blocks(pack_blocks(s, bits=4), -1991, -1978, -2)
+    return _r6(
+        cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
+        "height",
+    )
+
+
 def q_lod_cut_blocks(spark, sf_dir):
     """J3+MinExponent via the BLOCK path (operators/blocks.py
     lod_cut_blocks): world-anchored shadowing kernel over a mixed-width
@@ -633,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_blocks": q_merge_blocks,
         "pyramid_blocks": q_pyramid_blocks,
         "polygon_blocks": q_polygon_blocks,
+        "near_line_blocks": q_near_line_blocks,
+        "inside_cell_blocks": q_inside_cell_blocks,
+        "intersects_cell_blocks": q_intersects_cell_blocks,
         "box_blocks": q_box_blocks,
         "merge_mixed_res": q_merge_mixed_res,
         "merge_blocks_mixed": q_merge_blocks_mixed,
@@ -774,6 +816,18 @@ def oracle_sql() -> dict[str, str]:
         "near_line": f"""
             SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
             WHERE abs(0.6 * (cy + 0.5 - 0.0) - 0.8 * (cx + 0.5 - 0.0)) <= 25.0
+        """,
+        "near_line_blocks": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE abs(0.6 * (cy + 0.5 - 0.0) - 0.8 * (cx + 0.5 - 0.0)) <= 25.0
+        """,
+        "inside_cell_blocks": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE (cx >> 7) = -2 AND (cy >> 7) = -2
+        """,
+        "intersects_cell_blocks": f"""
+            SELECT cx, cy, e, round(height, 6) AS height, n_docs FROM ({S})
+            WHERE cx = (-1991 >> 2) AND cy = (-1978 >> 2)
         """,
         "point_lookup": f"""
             WITH s AS ({S}), p(pid, px, py) AS (VALUES {probes})

@@ -1736,6 +1736,116 @@ def inside_polygon_blocks(
     return cells.filter(in_bbox & _winding_expr(px, py, verts))
 
 
+def near_line_blocks(
+    blocks: DataFrame,
+    ox: float,
+    oy: float,
+    dx: float,
+    dy: float,
+    dist: float,
+    rel: tuple[float, float] = (0.5, 0.5),
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """J8 on the block path: cells whose SampleMode position is within
+    ``dist`` of the infinite line (``query.near_line`` semantics,
+    Query.fs:477-488), over a block staging table.
+
+    Phase 1 prunes whole BLOCKS with the same all-corners-on-one-side band
+    test the sample path applies per cell — a plain Catalyst filter on
+    (bx, by, e, w), parquet min/max prunable, so the steady-state block
+    staging feeds this query without a full unpack. Phase 2 unpacks only
+    surviving blocks and applies the exact codegen distance predicate."""
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    norm = (dx * dx + dy * dy) ** 0.5
+    ux, uy = dx / norm, dy / norm
+
+    def signed(px, py):
+        return F.lit(ux) * (py - F.lit(float(oy))) - F.lit(uy) * (px - F.lit(float(ox)))
+
+    side = _block_bounds(F.col("e"), F.col("w"))
+    x0 = F.col("bx").cast("double") * side
+    y0 = F.col("by").cast("double") * side
+    corners = [signed(x0, y0), signed(x0 + side, y0),
+               signed(x0, y0 + side), signed(x0 + side, y0 + side)]
+    all_above = corners[0] > F.lit(float(dist))
+    all_below = corners[0] < F.lit(-float(dist))
+    for c in corners[1:]:
+        all_above = all_above & (c > F.lit(float(dist)))
+        all_below = all_below & (c < F.lit(-float(dist)))
+    pruned = blocks.filter(~(all_above | all_below))
+    cells = unpack_blocks(pruned, layers)
+    scale = F.pow(F.lit(2.0), F.col("e").cast("double"))
+    px = (F.col("cx").cast("double") + F.lit(rel[0])) * scale
+    py = (F.col("cy").cast("double") + F.lit(rel[1])) * scale
+    return cells.filter(F.abs(signed(px, py)) <= F.lit(float(dist)))
+
+
+def _prune_blocks_cell(blocks: DataFrame, qcx: int, qcy: int, qe: int) -> DataFrame:
+    """Keep blocks whose world extent intersects the query CELL's extent
+    (max-EXCLUSIVE on both sides — cell boxes, unlike the position-bbox
+    prune which must keep the inclusive max edge). Plain Catalyst filter
+    on (bx, by, e, w); products of powers of two are double-exact."""
+    side = _block_bounds(F.col("e"), F.col("w"))
+    x0 = F.col("bx").cast("double") * side
+    y0 = F.col("by").cast("double") * side
+    qs = float(2.0 ** qe)
+    qx0, qx1 = qcx * qs, (qcx + 1) * qs
+    qy0, qy1 = qcy * qs, (qcy + 1) * qs
+    return blocks.filter(
+        (x0 < F.lit(qx1)) & (x0 + side > F.lit(qx0))
+        & (y0 < F.lit(qy1)) & (y0 + side > F.lit(qy0))
+    )
+
+
+def inside_cell_blocks(
+    blocks: DataFrame, qcx: int, qcy: int, qe: int,
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """J4 on the block path: cells fully inside the query cell
+    (ancestor-or-equal containment, ``query.inside_cell`` semantics,
+    Query.fs:439-444). Block prune: extent intersection + ``e <= qe``
+    (a coarser-than-query sample can never be inside it); then the exact
+    integer containment predicate on unpacked survivors."""
+    from ..functions import cells as C
+
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    pruned = _prune_blocks_cell(blocks, qcx, qcy, qe).filter(
+        F.col("e") <= F.lit(int(qe))
+    )
+    cells = unpack_blocks(pruned, layers)
+    return cells.filter(
+        C.is_ancestor_or_equal(
+            F.lit(qcx), F.lit(qcy), F.lit(qe),
+            F.col("cx"), F.col("cy"), F.col("e"),
+        )
+    )
+
+
+def intersects_cell_blocks(
+    blocks: DataFrame, qcx: int, qcy: int, qe: int,
+    layers: list[str] | None = None,
+) -> DataFrame:
+    """J5 on the block path: cells whose area intersects the query cell —
+    INCLUDING the supersampling fallback where the query cell is finer
+    than the data and the coarser containing sample answers
+    (``query.intersects_cell`` semantics, Query.fs:575-592: no exponent
+    restriction in the prune, so coarser-parent blocks survive it)."""
+    from ..functions import cells as C
+
+    if layers is None:
+        layers, _ = _block_layers(blocks)
+    pruned = _prune_blocks_cell(blocks, qcx, qcy, qe)
+    cells = unpack_blocks(pruned, layers)
+    return cells.filter(
+        C.cells_intersect(
+            F.lit(qcx), F.lit(qcy), F.lit(qe),
+            F.col("cx"), F.col("cy"), F.col("e"),
+        )
+    )
+
+
 def polygon_count_blocks(
     blocks: DataFrame,
     verts: list[tuple[float, float]],

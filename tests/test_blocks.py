@@ -610,3 +610,54 @@ def test_points_to_blocks_narrow_matches_wide(spark):
     for k in cw:
         assert cn[k][0] == _f32(cw[k][0]), k
         assert cn[k][1] == cw[k][1], k
+
+
+def test_near_line_blocks_parity(spark):
+    """J8 on blocks: whole-block band prune + exact codegen distance ==
+    query.near_line over the same samples (prune is a plain Catalyst
+    filter on the block key — no unpack of pruned-away blocks)."""
+    from aardvark_geometry_quadtree_spark.operators.query import near_line
+
+    s = _mk(spark, 111)
+    exp = near_line(s, 0.0, 0.0, 0.6, 0.8, 7.0)
+    got = B.near_line_blocks(B.pack_blocks(s, bits=3), 0.0, 0.0, 0.6, 0.8, 7.0,
+                             layers=["height", "n"])
+    assert _cells(got) == _cells(exp)
+    # diagonal line: the band must actually prune blocks (fewer scanned)
+    pruned = B.near_line_blocks(B.pack_blocks(s, bits=2), 0.0, -1000.0, 1.0, 0.0, 1.0)
+    assert pruned.count() == 0
+
+
+def test_inside_cell_blocks_parity(spark):
+    """J4 on blocks: containment == query.inside_cell, and the prune keeps
+    only blocks overlapping the query cell at e <= qe."""
+    from aardvark_geometry_quadtree_spark.operators.query import inside_cell
+
+    s0 = _mk(spark, 121)
+    s1 = _mk(spark, 122, n=80, span=12).withColumn("e", F.lit(1).cast("int"))
+    s = s0.unionByName(s1)
+    blk = B.pack_blocks(s, bits=3)
+    for q in [(-1, -1, 3), (0, 0, 4), (5, 5, 0)]:
+        exp = inside_cell(s, *q)
+        got = B.inside_cell_blocks(blk, *q)
+        assert _cells(got) == _cells(exp), q
+
+
+def test_intersects_cell_blocks_supersampling(spark):
+    """J5 on blocks incl. the coarser-parent fallback: a query cell FINER
+    than the data returns the containing coarse sample (Query.fs:575-592)."""
+    from aardvark_geometry_quadtree_spark.operators.query import intersects_cell
+
+    s = _mk(spark, 131).withColumn("e", F.lit(2).cast("int"))
+    blk = B.pack_blocks(s, bits=3)
+    # pick an existing cell, query a depth-2 child of it
+    first = s.limit(1).collect()[0]
+    qcx, qcy, qe = first["cx"] * 4 + 1, first["cy"] * 4 + 2, 0
+    exp = intersects_cell(s, qcx, qcy, qe)
+    got = B.intersects_cell_blocks(blk, qcx, qcy, qe)
+    assert exp.count() == 1  # the coarser parent answers
+    assert _cells(got) == _cells(exp)
+    # coarser-than-data query cell too (normal intersection)
+    exp2 = intersects_cell(s, first["cx"] >> 2, first["cy"] >> 2, 4)
+    got2 = B.intersects_cell_blocks(blk, first["cx"] >> 2, first["cy"] >> 2, 4)
+    assert _cells(got2) == _cells(exp2)

@@ -125,3 +125,44 @@ def test_block_ingest_stream_matches_batch_ingest(spark, tmp_path):
             for r in df.collect()
         }
     assert key(got) == key(exp)
+
+
+def test_block_ingest_stream_retry_idempotent(spark, tmp_path):
+    """Failure injection: foreachBatch is at-least-once — re-running a
+    micro-batch with the SAME batch_id (points write landed, checkpoint
+    commit lost) must leave points AND blocks identical: the points land
+    via batch_id-partitioned dynamic overwrite (a retry replaces its own
+    partition), and the block rebuild is a pure overwrite derived from the
+    points table."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import (
+        geocode, pages_to_blocks, synth_webpages)
+    from aardvark_geometry_quadtree_spark.streaming.builder_stream import (
+        start_block_ingest_stream)
+
+    src = str(tmp_path / "pages_in")
+    pts = str(tmp_path / "points")
+    blk = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    p1 = synth_webpages(spark, 800, nsites=30, seed=7)
+    p2 = synth_webpages(spark, 800, nsites=30, seed=8)
+    p1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(p1.schema).parquet(src)
+    w = start_block_ingest_stream(stream, pts, blk, ckpt, extent=128.0, bits=3)
+    proc = w._qt_process
+    proc(p1, 0)
+    proc(p1, 0)  # retried batch 0 (append-after-crash scenario)
+    proc(p2, 1)
+    proc(p2, 1)  # retried batch 1
+    assert spark.read.parquet(pts).count() == 1600  # no duplicated points
+    got = spark.read.parquet(blk).drop("pbx", "pby")
+    exp = pages_to_blocks(geocode(p1.unionByName(p2), extent=128.0), e=0, bits=3)
+
+    def key(df):
+        return {
+            (r["bx"], r["by"]): (r["n_samples"], tuple(r["occ"]),
+                                 tuple(None if v is None or v != v else round(v, 9) for v in r["height"]),
+                                 tuple(r["n_pages"]))
+            for r in df.collect()
+        }
+
+    assert key(got) == key(exp)
