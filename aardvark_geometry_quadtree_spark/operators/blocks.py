@@ -152,6 +152,28 @@ def _block_layers(blocks: DataFrame) -> tuple[list[str], set[str]]:
     return layers, int_layers
 
 
+def _group_codes(*cols: "np.ndarray") -> tuple["np.ndarray", list["np.ndarray"], int]:
+    """Group-id assignment over parallel int64 key columns — the job
+    ``np.unique(keys, axis=0, return_inverse=True)`` does, WITHOUT its
+    structured-dtype sort (measured 411 ms vs 35 ms at 375k rows x 2 key
+    columns: axis-0 unique compares whole rows through a void view; a
+    lexsort compares machine ints). Returns ``(codes, [unique values per
+    column...], n_groups)``; groups come out in lexicographic key order."""
+    n = len(cols[0])
+    order = np.lexsort(cols[::-1])
+    sorted_cols = [c[order] for c in cols]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    m = np.zeros(n - 1, dtype=bool)
+    for c in sorted_cols:
+        m |= c[1:] != c[:-1]
+    new[1:] = m
+    gid = np.cumsum(new) - 1
+    codes = np.empty(n, dtype=np.int64)
+    codes[order] = gid
+    return codes, [c[new] for c in sorted_cols], int(new.sum())
+
+
 def pack_blocks(
     samples: DataFrame,
     bits: int,
@@ -249,15 +271,13 @@ def pack_blocks(
         ee = pdf["e"].to_numpy(np.int64)
         cx = pdf["cx"].to_numpy(np.int64)
         cy = pdf["cy"].to_numpy(np.int64)
-        keys = np.stack([bx, by, ee], axis=1)
-        uniq, codes = np.unique(keys, axis=0, return_inverse=True)
-        nb = len(uniq)
+        codes, (ubx, uby, ue), nb = _group_codes(bx, by, ee)
         idx = (cy - by * w) * w + (cx - bx * w)
         occ2 = np.zeros((nb, w * w), dtype=bool)
         occ2[codes, idx] = True
         out: dict[str, object] = {
-            "bx": uniq[:, 0], "by": uniq[:, 1],
-            "e": uniq[:, 2].astype(np.int64),
+            "bx": ubx, "by": uby,
+            "e": ue,
             "w": np.full(nb, w, dtype=np.int64),
             # occupied-cell count, NOT input row count: n_samples means
             # occupied cells everywhere on the block path, and duplicate
@@ -435,6 +455,10 @@ def merge_blocks(
       heap quiet. Emits ``n_samples`` (occupied-cell count) for free.
     - ``engine='sql'``: pure-JVM ``zip_with`` formulation — no Python
       workers at all; right for small merges inside larger SQL-only plans.
+      CONTRACT: scalar layers only (loud ValueError on vector layers) —
+      a channel-aware ``zip_with`` would interpret its lambda per element
+      over ``w*w*k`` buffers, exactly the anti-scaling path the kernel
+      engine exists to avoid, so vector-layer merges are kernel-only.
 
     Semantics == ``merge._merge_same_exponent`` (winner-per-cell at one
     shared exponent, Query.fs:79-196): where both sides have the cell, the

@@ -143,22 +143,18 @@ class Builder:
         A small JSON manifest records the per-entry exponent hints so a
         reloaded builder keeps the zero-discovery build path.
 
-        LOCAL-PATH contract (same as ``sources.store.ParquetStore``): the
-        parquet write goes through Spark and works on any Hadoop-visible
-        URI, but the manifest (and ``load``'s ``patch_id=*`` directory
-        fallback) uses local-FS ``open``/``os.listdir`` — ``path`` must be a
-        local filesystem path. On object storage, stage locally and copy,
-        or port the manifest I/O to the Hadoop FileSystem API."""
-        import json
-        import os
+        ``path`` may be any Hadoop-visible URI (local, hdfs://, s3a://,
+        ...): the parquet write goes through Spark and the manifest goes
+        through the same Hadoop FileSystem API (``sources.fsio``), so
+        nothing here is local-FS-only."""
+        from ..sources import fsio
 
         self._union().write.mode("overwrite").partitionBy("patch_id").parquet(path)
         manifest = {
             "exponent_sets": [sorted(s) if s is not None else None for s in self._exponents],
             "next_id": self._next_id,
         }
-        with open(os.path.join(path, "_builder_manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        fsio.write_json(fsio.join(path, "_builder_manifest.json"), manifest)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, layers: list[str] | None = None) -> "Builder":
@@ -166,18 +162,17 @@ class Builder:
         a single (partition-pruned) read instead of one filtered scan per
         patch; patch ordering survives in the ``patch_id`` column, which is
         all ``merge_layers``/``flatten_patches`` need. Exponent hints are
-        restored from the save-time manifest when complete."""
-        import json
-        import os
+        restored from the save-time manifest when complete. ``path`` may be
+        any Hadoop-visible URI (manifest + directory listing go through the
+        Hadoop FileSystem API, ``sources.fsio``)."""
+        from ..sources import fsio
 
         df = spark.read.parquet(path)
         b = cls(layers=layers)
         exps: set[int] | None = None
         next_id = None
-        mpath = os.path.join(path, "_builder_manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                man = json.load(f)
+        man = fsio.read_json(fsio.join(path, "_builder_manifest.json"))
+        if man is not None:
             sets = man.get("exponent_sets", [])
             if sets and all(s is not None for s in sets):
                 exps = {int(x) for s in sets for x in s}
@@ -187,7 +182,7 @@ class Builder:
             # a distinct query only if the layout is not patch-partitioned
             pids = [
                 int(d.split("=", 1)[1])
-                for d in os.listdir(path)
+                for d in fsio.list_names(path)
                 if d.startswith("patch_id=")
             ]
             if not pids:

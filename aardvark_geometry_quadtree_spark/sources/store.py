@@ -24,12 +24,12 @@ markers; no operator logic changes.
 
 from __future__ import annotations
 
-import json
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsio
 
 MANIFEST = "_quadtree_manifest.json"
 
@@ -59,8 +59,7 @@ def save_samples(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     manifest = {"partition_cols": list(partition_cols), "columns": df.columns}
     manifest.update(meta or {})
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=2)
+    fsio.write_json(fsio.join(path, MANIFEST), manifest)
 
 
 def load_samples(spark: SparkSession, path: str) -> DataFrame:
@@ -69,8 +68,10 @@ def load_samples(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+    man = fsio.read_json(fsio.join(path, MANIFEST))
+    if man is None:
+        raise FileNotFoundError(fsio.join(path, MANIFEST))
+    return man
 
 
 def save_packed(
@@ -107,8 +108,7 @@ def save_packed(
         "layer_types": layer_types,
         "partition_cols": ["e"],
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=2)
+    fsio.write_json(fsio.join(path, MANIFEST), manifest)
 
 
 def load_packed_tiles(spark: SparkSession, path: str) -> DataFrame:
@@ -143,8 +143,7 @@ def export_store(spark: SparkSession, src: str, dst: str, mode: str = "overwrite
     if part:
         w = w.partitionBy(*part)
     w.parquet(dst)
-    with open(os.path.join(dst, MANIFEST), "w") as f:
-        json.dump(man, f, indent=2)
+    fsio.write_json(fsio.join(dst, MANIFEST), man)
     return load_samples(spark, dst).count()
 
 
@@ -186,7 +185,7 @@ class ParquetStore:
         self.root = root
 
     def _path(self, key: str) -> str:
-        return os.path.join(self.root, key)
+        return fsio.join(self.root, key)
 
     def add(self, key: str, df: DataFrame, partition_cols: tuple[str, ...] = ()) -> None:
         w = df.write.mode("overwrite")
@@ -210,14 +209,12 @@ class ParquetStore:
         return spark.read.parquet(self._path(key)) if self.exists(key) else None
 
     def exists(self, key: str) -> bool:
-        return os.path.exists(os.path.join(self._path(key), "_SUCCESS"))
+        return fsio.exists(fsio.join(self._path(key), "_SUCCESS"))
 
     def keys(self) -> list[str]:
-        if not os.path.isdir(self.root):
-            return []
         return sorted(
-            k for k in os.listdir(self.root)
-            if os.path.exists(os.path.join(self.root, k, "_SUCCESS"))
+            k for k in fsio.list_names(self.root)
+            if fsio.exists(fsio.join(self.root, k, "_SUCCESS"))
         )
 
 
@@ -244,7 +241,7 @@ def export_between_stores(
 # ---------------------------------------------------------------------------
 
 def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return fsio.exists(fsio.join(path, "_SUCCESS"))
 
 
 def with_lineage(df: DataFrame, stage_name: str) -> DataFrame:
@@ -274,7 +271,7 @@ def stage(
     ``fn()`` is computed, lineage-stamped, and written atomically (_SUCCESS
     marks completion; a partial write without it is overwritten on retry).
     """
-    out_dir = os.path.join(path, name)
+    out_dir = fsio.join(path, name)
     if not force and _done(out_dir):
         return spark.read.parquet(out_dir)
     df = with_lineage(fn(), name)

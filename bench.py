@@ -64,8 +64,23 @@ def main() -> None:
     def bench_pyramid(spark, _sf_dir):
         return build_pyramid_blocked(_staged_samples, levels=6, layers=["height"])
 
+    # NOTE on cross-round row counts: ingest_tile_build / pyramid_l6 rows
+    # derive from the synthetic page corpus via the ingest path; the round-4
+    # staged-int-points refactor shifted the point distribution slightly
+    # (781,254 -> 779,623 at sf0.1). The synth is deterministic per code
+    # version — row drift across rounds signals an ingest change, not a bug
+    # (the oracle gate recomputes on fixed parquet and is unaffected).
+    def bench_ingest_blocks_narrow(spark, _sf_dir):
+        # the crawl-scale staging path: string scan -> int points -> narrow
+        # (float32/int32) block histograms, no per-cell hash aggregation
+        from aardvark_geometry_quadtree_spark.sources.webpages import pages_to_blocks
+
+        pages = synth_webpages(spark, n_pages, nsites=2000, skew=1.5)
+        return pages_to_blocks(geocode(pages, extent=4096.0), e=0, bits=6, narrow=True)
+
     workload = {
         "ingest_tile_build": bench_ingest_tile,
+        "ingest_blocks_narrow": bench_ingest_blocks_narrow,
         "pyramid_l6": bench_pyramid,
         "cell_encode": E.q_cell_encode,
         "inside_polygon": E.q_inside_polygon,

@@ -113,3 +113,21 @@ def test_builder_load_restores_hints_single_read(spark, tmp_path):
     b2.add(grid_with_values(spark, 9, 9, 1, 1, [7.0], e=0).drop("patch_id"), exponent=0)
     ids = sorted(r[0] for r in b2._union().select("patch_id").distinct().collect())
     assert ids == [0, 1, 2]
+
+
+def test_builder_save_load_file_uri(spark, punz_builder, tmp_path):
+    """Builder manifests go through the Hadoop FileSystem API: an explicit
+    file: URI (which plain open()/os.listdir cannot touch) must round-trip,
+    including the manifest-restored exponent hints."""
+    from aardvark_geometry_quadtree_spark.sources import fsio
+
+    path = "file:" + str(tmp_path / "patches_uri")
+    punz_builder.save(path)
+    # the manifest was written AND reads back through the FS API on the URI
+    man = fsio.read_json(path + "/_builder_manifest.json")
+    assert man is not None and man["next_id"] == punz_builder._next_id
+    again = Builder.load(spark, path, layers=["height"])
+    assert again._next_id == punz_builder._next_id
+    a = {(r["cx"], r["cy"], r["e"]): r["height"] for r in punz_builder.build().collect()}
+    b = {(r["cx"], r["cy"], r["e"]): r["height"] for r in again.build().collect()}
+    assert a == b

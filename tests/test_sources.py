@@ -232,3 +232,26 @@ def test_add_if_absent_and_incremental_export(spark, tmp_path):
     }
     # and the store still sees exactly one copy per key
     assert dst.try_get(spark, "k1").count() == 1
+
+
+def test_store_file_uri_roundtrip(spark, tmp_path):
+    """Store manifests and _SUCCESS probes go through the Hadoop FS API:
+    save/load/export and the ParquetStore binding must work on an explicit
+    file: URI (plain open()/os.listdir cannot touch one)."""
+    from aardvark_geometry_quadtree_spark.sources import store as S
+    from aardvark_geometry_quadtree_spark.sources.grids import grid
+
+    g = grid(spark, 0, 0, 4, 4, e=0, pattern="seq")
+    root = "file:" + str(tmp_path / "store_uri")
+    S.save_samples(g, root + "/t1")
+    man = S.load_manifest(root + "/t1")
+    assert man["partition_cols"] == ["e"]
+    back = S.load_samples(spark, root + "/t1")
+    assert back.count() == 16
+    n = S.export_store(spark, root + "/t1", root + "/t2")
+    assert n == 16 and S.load_manifest(root + "/t2")["partition_cols"] == ["e"]
+    ps = S.ParquetStore(root + "/kv")
+    assert ps.add_if_absent("a", g) is True
+    assert ps.add_if_absent("a", g) is False  # dedup via FS-API _SUCCESS probe
+    assert ps.keys() == ["a"]
+    assert ps.try_get(spark, "a").count() == 16

@@ -41,8 +41,17 @@ def canon(df) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
+    import json
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # SPARK_GRAFT_CORRECTNESS_OUT=<path>: also write a CORRECTNESS-style
+    # JSON artifact (per-query rows/schema/hash matches) — used to certify
+    # the suite at LARGER sf than the driver's own sf0.01 gate, catching
+    # size-dependent bugs (span guards, AQE plan flips, skew paths)
+    out_path = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
+    artifact: dict[str, dict] = {}
 
     import __spark_entry__ as E
     from aardvark_geometry_quadtree_spark.session import get_spark
@@ -62,22 +71,38 @@ def main() -> int:
             sn, scols, shash = canon(sdf)
         except Exception as ex:
             print(f"{name:24s} SPARK-ERROR {str(ex).splitlines()[0][:120]}")
+            artifact[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": None,
+                              "oracle_rows": None, "err": f"spark: {str(ex).splitlines()[0][:200]}"}
             n_fail += 1
             continue
         if name not in osql:
             print(f"{name:24s} rows-only  n={sn}")
+            artifact[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": sn,
+                              "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             on, ocols, ohash = canon(con.sql(osql[name]).df())
         except Exception as ex:
             print(f"{name:24s} ORACLE-ERROR {str(ex).splitlines()[0][:120]}")
+            artifact[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": sn,
+                              "oracle_rows": None, "err": f"oracle: {str(ex).splitlines()[0][:200]}"}
             n_fail += 1
             continue
         ok = (sn == on) and (scols == ocols) and (shash == ohash)
         status = "OK " if ok else "FAIL"
         if not ok:
             n_fail += 1
+        artifact[name] = {"rows_match": sn == on, "schema_match": scols == ocols,
+                          "hash_match": shash == ohash, "spark_rows": sn,
+                          "oracle_rows": on, "err": None}
         print(f"{name:24s} {status} spark={sn} oracle={on} cols={'=' if scols == ocols else (scols, ocols)} hash={'=' if shash == ohash else 'DIFF'}")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"artifact -> {out_path}")
     return n_fail
 
 
