@@ -36,7 +36,8 @@ run() {
     --conf spark.sql.warehouse.dir=/dev/shm/spark-wh \
     --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC" \
     --py-files "$ZIP" \
-    BENCH/scaling.py --cores "$cores" --pages "$PAGES" --extent "$EXTENT" ${WIDE:+--wide} 2>/dev/null | tail -1
+    BENCH/scaling.py --cores "$cores" --pages "$PAGES" --extent "$EXTENT" \
+    --steady-reps "${STEADY_REPS:-1}" ${WIDE:+--wide} 2>/dev/null | tail -1
 }
 
 # The hypervisor throttles SUSTAINED load (invisible to guest steal
