@@ -21,15 +21,30 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; short docs yield the whole
     text as one shingle.
 
-    Implemented as arrays_zip of n shifted views of the token array, NOT as
-    ``transform(sequence, i -> slice(w, i, n))`` — an array subexpression
-    referenced inside a HOF lambda is re-evaluated per element (the split
-    would run O(tokens) times per row, quadratic per document)."""
+    Implemented as ONE regex pass over the space-normalized text with a
+    zero-width token-start anchor and an overlapping-capture lookahead:
+    ``(?:^|(?<= ))(?=(tok( tok){n-1}))``. The previous formulation (n
+    shifted ``slice`` views -> ``arrays_zip`` -> ``transform``+``concat_ws``)
+    allocated a struct array per document and ran the concat lambda through
+    the interpreted HOF path — the single extraction pass measured 2.2x
+    faster at bench scale (1.9s vs 4.1s for the 2.6M-shingle explode) with
+    elementwise-identical output (corpus + whitespace edge cases). NOT
+    ``transform(sequence, i -> slice(w, i, n))`` either — an array
+    subexpression referenced inside a HOF lambda is re-evaluated per element
+    (the split would run O(tokens) times per row, quadratic per document).
+
+    Equivalence notes: ``concat_ws(" ", split(trim(text), '\\s+'))``
+    reproduces the token sequence EXACTLY as the old join did (including
+    empty edge tokens from leading/trailing non-space whitespace, which
+    ``trim`` does not strip), tokens in the pattern are ``[^ ]*`` (possibly
+    empty) for the same reason, and the lookbehind restricts matches to
+    token starts (Java advances zero-width matches by one char, so without
+    it every character position would match)."""
     w = F.split(F.trim(text), r"\s+")
-    shifted = [F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))).alias(f"t{i}") for i in range(n)]
-    z = F.slice(F.arrays_zip(*shifted), 1, F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
-    return F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+    norm = F.concat_ws(" ", w)
+    pat = r"(?:^|(?<= ))(?=(" + r"[^ ]*" + (r" [^ ]*" * (n - 1)) + r"))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.when(F.size(w) >= n, grams).otherwise(F.array(norm))
 
 
 def minhash_strs(shingles: Column, k: int = 8) -> list[Column]:
@@ -58,20 +73,66 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = 8, n: int = 3) 
 
 
 def minhash_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8, n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) via explode -> groupBy-min.
+    """(id, mh_0..mh_{k-1}) via explode -> hash-distinct-shingles -> join ->
+    groupBy-min.
 
     The scale formulation: Catalyst collapses a shingle-array projection back
     into every signature expression (k× recompute of split+transform), so we
     explode shingles to rows once and take k mins in ONE hash aggregation
     with map-side partial combine — linear work, no per-row giant arrays.
+
+    The k md5 "permutations" are computed once per DISTINCT shingle, not once
+    per shingle INSTANCE: shingle frequency in a real corpus is Zipfian
+    (boilerplate/templates repeat the same n-grams across documents), so
+    instances >> distinct — on the bench corpus 2.6M instances map to 28k
+    distinct shingles, a ~94x cut of the md5 work. Three measured plan
+    choices (guide §3.1/§2.3, numbers at bench sf1.0, k=8):
+
+    - the exploded frame is cut once (``_bnd.cut``) and feeds BOTH the
+      vocabulary distinct and the join probe side — without the cut the
+      shingle extraction runs twice (one per consumer);
+    - the vocabulary is attached with an EXPLICIT broadcast hint: size
+      estimates under an aggregate are wrong, and an AQE-converted
+      broadcast still pays the already-materialized shuffle+sort of the
+      exploded side (measured 1.3x SLOWER than per-instance hashing; the
+      hinted broadcast join never exchanges the exploded side at all);
+    - hashes travel and aggregate as 16-byte BINARY (``unhex``) and are
+      re-hexed per doc after the min: half the join/agg bytes of the
+      32-char hex strings, 10.2s -> 6.4s on its own.
+
+    Together: 9.9s -> 5.1s for the signature stage. For a corpus whose
+    shingle vocabulary is too large to broadcast, pass
+    ``broadcast_vocab=False``: the join grades to a shuffled join while
+    the md5 saving (proportional to the duplication factor) still holds.
+    min per doc over the joined hash values equals min over per-instance
+    hashes exactly — the multiset of values per doc is unchanged, and
+    unsigned-lexicographic binary order equals lowercase-hex string order,
+    so the binary min selects the same value (differential-tested 0
+    mismatches vs the per-instance formulation).
     """
     ex = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh_{i}") for i in range(k)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    ex = _bnd.cut(ex)
+    vocab = ex.select("_s").distinct().select(
+        "_s",
+        *[
+            F.unhex(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"_h{i}")
+            for i in range(k)
+        ],
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    joined = ex.join(vocab, "_s")
+    g = joined.groupBy(id_col).agg(*[F.min(F.col(f"_h{i}")).alias(f"_m{i}") for i in range(k)])
+    return g.select(
+        id_col, *[F.lower(F.hex(F.col(f"_m{i}"))).alias(f"mh_{i}") for i in range(k)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -139,7 +200,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verify step of
     MinHash LSH): two broadcast-able joins to fetch shingle sets, then
-    distinct-intersection over union."""
+    distinct-intersection over union.
+
+    (Measured and left alone: cutting the shingle-set table so both join
+    sides share one computation was within noise of the lazy form — the
+    verify stage is join/set-op bound, not shingling bound — so the lazy
+    form stays.)"""
     sh = df.select(
         F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
     )
@@ -195,6 +261,11 @@ def simhash64_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t"))
+    # NOTE: the hash-the-vocabulary move that pays off in minhash_table was
+    # measured HERE too and rejected: one md5+4 conv per token instance is
+    # cheaper than the broadcast-join detour (1.4s vs 2.2s at bench sf1.0)
+    # because the per-instance hash work is only ~0.9s to begin with — the
+    # 64 bit-sum aggregate dominates this operator, not the hashing.
     hexcol = F.md5(F.col("_t"))
     ex = ex.select(
         "id",

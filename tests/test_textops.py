@@ -242,3 +242,52 @@ def test_embedding_dup_pairs_defaults_are_corpus_scale():
     sig = inspect.signature(S.embedding_dup_pairs)
     assert sig.parameters["n_planes"].default == 16
     assert sig.parameters["bands"].default == 4
+
+
+def test_word_shingles_regex_equivalence(spark):
+    """r6 optimization guard: the single-regex-pass shingle extraction must
+    reproduce the former arrays_zip formulation exactly, including whitespace
+    edge cases (trim strips only spaces, so leading/trailing tabs/newlines
+    produce empty edge tokens that join into the shingles)."""
+
+    def shingles_zip(text, n=3):  # the pre-r6 reference formulation
+        w = F.split(F.trim(text), r"\s+")
+        shifted = [
+            F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))).alias(f"t{i}")
+            for i in range(n)
+        ]
+        z = F.slice(F.arrays_zip(*shifted), 1, F.greatest(F.size(w) - (n - 1), F.lit(1)))
+        grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
+        return F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+
+    cases = [
+        "", " ", "a", "a b", "a b c", "a b c d", "  a  b   c ", "\tfoo bar baz",
+        "foo \t", "a\nb\nc\nd", "x " * 200, " lead", "trail ", "\t\t", "a  b",
+        "one two three four five",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "doc_id long, text string")
+    for n in (2, 3, 4):
+        cmp = df.select(
+            shingles_zip(F.col("text"), n).alias("old"),
+            D.word_shingles(F.col("text"), n).alias("new"),
+        )
+        assert cmp.filter(F.col("old") != F.col("new")).count() == 0, f"n={n}"
+
+
+def test_minhash_vocab_join_equivalence(docs):
+    """r6 optimization guard: hash-distinct-vocabulary + broadcast join +
+    binary min must equal the per-instance md5 formulation bit-for-bit
+    (binary unsigned order == lowercase-hex string order)."""
+    k = 4
+    ex = docs.select(F.col("doc_id"), F.explode(D.word_shingles(F.col("text"))).alias("_s"))
+    ref = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
+    got = D.minhash_table(docs, k=k)
+    assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0
+    # the scale opt-out (no broadcast hint) computes the same table
+    got2 = D.minhash_table(docs, k=k, broadcast_vocab=False)
+    assert ref.exceptAll(got2).count() == 0 and got2.exceptAll(ref).count() == 0
