@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -245,12 +246,15 @@ def pack_blocks(
         "cx", "cy", *layers,
     )
 
-    # repartition + whole-partition mapInPandas, NOT groupBy.applyInPandas:
+    # repartition + whole-partition mapInArrow, NOT groupBy.applyInPandas:
     # applyInPandas invokes the kernel (and builds a pandas frame) once per
     # GROUP — ~5 ms of fixed cost each, which dominated on sparse rasters
     # with thousands of near-empty blocks (measured 17.7 s for 3.6k tiny
-    # blocks). Here a partition's groups are sliced inside ONE kernel call
-    # and emitted as one frame.
+    # blocks). Here a partition's groups are sliced inside ONE kernel call.
+    # Output list columns are emitted as ``pa.ListArray.from_arrays(offsets,
+    # flat_buffer)`` straight over the scatter buffers (guide §4.2): the
+    # former mapInPandas emission built object columns of numpy arrays whose
+    # pandas->Arrow conversion iterated per row.
     def _pack_partition(iterator):
         # a partition can arrive as multiple Arrow batches; the kernel needs
         # whole groups, so concatenate first (groups are co-located by the
@@ -260,12 +264,13 @@ def pack_blocks(
         # ~0.5 ms each (the applyInPandas disease re-entering through our
         # own groupby). One np.unique assigns every row a block code; every
         # buffer is built by 2-D scatter across ALL blocks at once.
-        batches = list(iterator)
-        if not batches:
+        chunks = list(iterator)
+        if not chunks:
             return
-        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
-        if not len(pdf):
+        tbl = pa.Table.from_batches(chunks)
+        if tbl.num_rows == 0:
             return
+        pdf = tbl.to_pandas()
         bx = pdf["bx"].to_numpy(np.int64)
         by = pdf["by"].to_numpy(np.int64)
         ee = pdf["e"].to_numpy(np.int64)
@@ -275,16 +280,18 @@ def pack_blocks(
         idx = (cy - by * w) * w + (cx - bx * w)
         occ2 = np.zeros((nb, w * w), dtype=bool)
         occ2[codes, idx] = True
-        out: dict[str, object] = {
+        # flat (per-block) columns keep exact Arrow dtypes; list columns
+        # stay 2-D buffers and become ListArrays over their flat view
+        flat: dict[str, np.ndarray] = {
             "bx": ubx, "by": uby,
-            "e": ue,
-            "w": np.full(nb, w, dtype=np.int64),
+            "e": ue.astype(np.int32),
+            "w": np.full(nb, w, dtype=np.int32),
             # occupied-cell count, NOT input row count: n_samples means
             # occupied cells everywhere on the block path, and duplicate
             # (cx, cy) input rows must not inflate it past the occupancy
-            "n_samples": occ2.sum(axis=1),
-            "occ": list(occ2),
+            "n_samples": occ2.sum(axis=1).astype(np.int64),
         }
+        out: dict[str, np.ndarray] = {"occ": occ2}
         for name in layers:
             defined = pdf[name].notna().to_numpy()
             dcodes, didx = codes[defined], idx[defined]
@@ -317,26 +324,43 @@ def pack_blocks(
                     buf = np.full((nb, w * w * k), np.nan, dtype=npf)
                 for ch in range(k):
                     buf[dcodes, didx * k + ch] = vv[:, ch]
-                out[name] = list(buf)
+                out[name] = buf
                 if spec.kind == "intcolor":
                     dm = np.zeros((nb, w * w), dtype=bool)
                     dm[dcodes, didx] = True
-                    out[f"{name}_mask"] = list(dm)
+                    out[f"{name}_mask"] = dm
             elif name in int_layers:
                 buf = np.zeros((nb, w * w), dtype=npi)
                 buf[dcodes, didx] = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
                 dm = np.zeros((nb, w * w), dtype=bool)
                 dm[dcodes, didx] = True
-                out[name] = list(buf)
-                out[f"{name}_mask"] = list(dm)
+                out[name] = buf
+                out[f"{name}_mask"] = dm
             else:
                 buf = np.full((nb, w * w), np.nan, dtype=npf)
                 buf[dcodes, didx] = pdf[name][defined].to_numpy(np.float64)
-                out[name] = list(buf)
+                out[name] = buf
         names_out = [f.split(" ")[0] for f in fields]
-        yield pd.DataFrame(out)[names_out]
+        # bounded slices: one giant partition must not become one giant
+        # Arrow batch (~4M payload cells per slice)
+        step = max(1, (1 << 22) // (w * w))
+        for s in range(0, nb, step):
+            t = min(s + step, nb)
+            m = t - s
+            arrs = []
+            for cname in names_out:
+                if cname in flat:
+                    arrs.append(pa.array(flat[cname][s:t]))
+                else:
+                    buf = out[cname]
+                    row_len = buf.shape[1]
+                    offs = pa.array(np.arange(m + 1, dtype=np.int32) * row_len)
+                    arrs.append(
+                        pa.ListArray.from_arrays(offs, pa.array(buf[s:t].reshape(-1)))
+                    )
+            yield pa.RecordBatch.from_arrays(arrs, names=names_out)
 
-    return keyed.repartition("bx", "by", "e").mapInPandas(_pack_partition, out_schema)
+    return keyed.repartition("bx", "by", "e").mapInArrow(_pack_partition, out_schema)
 
 
 def _registry_type(n: str) -> str | None:

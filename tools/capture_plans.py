@@ -56,11 +56,17 @@ def main() -> None:
         print(f"wrote {path}")
 
 
+def _n_pages(sf_dir: str) -> int:
+    # mirror bench.py's scaling rule so bench_extra numbers are comparable
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    return max(200_000, int(2_000_000 * sf))
+
+
 def _ingest_blocks_narrow(spark, sf_dir):
     from aardvark_geometry_quadtree_spark.sources.webpages import (
         geocode, pages_to_blocks, synth_webpages,
     )
-    pages = synth_webpages(spark, 200_000, nsites=2000, skew=1.5)
+    pages = synth_webpages(spark, _n_pages(sf_dir), nsites=2000, skew=1.5)
     return pages_to_blocks(geocode(pages, extent=4096.0), e=0, bits=6, narrow=True)
 
 
@@ -69,7 +75,7 @@ def _pyramid_l6(spark, sf_dir):
     from aardvark_geometry_quadtree_spark.sources.webpages import (
         geocode, pages_to_samples, synth_webpages,
     )
-    pages = synth_webpages(spark, 200_000, nsites=2000, skew=1.5)
+    pages = synth_webpages(spark, _n_pages(sf_dir), nsites=2000, skew=1.5)
     s = pages_to_samples(geocode(pages, extent=4096.0), e=0).drop("n_pages")
     return build_pyramid_blocked(s, levels=6, layers=["height"])
 
@@ -79,7 +85,7 @@ def _ingest_tile_build(spark, sf_dir):
     from aardvark_geometry_quadtree_spark.sources.webpages import (
         geocode, pages_to_samples, synth_webpages,
     )
-    pages = synth_webpages(spark, 200_000, nsites=2000, skew=1.5)
+    pages = synth_webpages(spark, _n_pages(sf_dir), nsites=2000, skew=1.5)
     s = pages_to_samples(geocode(pages, extent=4096.0), e=0)
     return build_tiles(s.drop("n_pages"), split=8, layers=["height"])
 
