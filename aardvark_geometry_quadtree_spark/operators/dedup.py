@@ -78,61 +78,92 @@ def minhash_table(
     text_col: str = "text",
     k: int = 8,
     n: int = 3,
-    broadcast_vocab: bool = True,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) via explode -> hash-distinct-shingles -> join ->
-    groupBy-min.
+    """(id, mh_0..mh_{k-1}) — one ``mapInArrow`` signature kernel.
 
-    The scale formulation: Catalyst collapses a shingle-array projection back
-    into every signature expression (k× recompute of split+transform), so we
-    explode shingles to rows once and take k mins in ONE hash aggregation
-    with map-side partial combine — linear work, no per-row giant arrays.
+    The whole signature (shingle -> k md5 "permutations" -> per-doc min)
+    runs inside one Arrow-batched Python kernel: one pass over the text, no
+    explode, no shuffle (guide §4.2: hand whole batches to native code —
+    hashlib's C md5 here). Shingle frequency is Zipfian, so a per-task
+    digest cache hashes each DISTINCT shingle once (~28k distinct vs 2.6M
+    instances on the bench corpus); shingles are cached under their token
+    TUPLE (CPython interns the split tokens and caches string hashes, so a
+    tuple key skips building the joined string per instance); mins compare
+    the 16-byte DIGESTS in place (byte order == lowercase-hex order) and
+    hex-encode once per doc.
 
-    The k md5 "permutations" are computed once per DISTINCT shingle, not once
-    per shingle INSTANCE: shingle frequency in a real corpus is Zipfian
-    (boilerplate/templates repeat the same n-grams across documents), so
-    instances >> distinct — on the bench corpus 2.6M instances map to 28k
-    distinct shingles, a ~94x cut of the md5 work. Three measured plan
-    choices (guide §3.1/§2.3, numbers at bench sf1.0, k=8):
+    Measured honestly (noop-forced — ``count()`` over the Catalyst agg
+    silently PRUNES the min columns and fakes a 4x win, guide §1.4), at
+    bench sf1.0, k=8, full 32-way scan parallelism: per-instance JVM md5
+    agg 10.6s, hash-distinct-vocabulary broadcast join 6.6s, this kernel
+    4.6s; end-to-end lsh_pairs 12.4 / 7.6 / 6.1s. The Catalyst
+    formulations lose to the md5-per-instance volume (or to the join
+    detour), the kernel to neither; its cost is the per-task Python loop,
+    which the tuple-key cache keeps at ~0.2s/task.
 
-    - the exploded frame is cut once (``_bnd.cut``) and feeds BOTH the
-      vocabulary distinct and the join probe side — without the cut the
-      shingle extraction runs twice (one per consumer);
-    - the vocabulary is attached with an EXPLICIT broadcast hint: size
-      estimates under an aggregate are wrong, and an AQE-converted
-      broadcast still pays the already-materialized shuffle+sort of the
-      exploded side (measured 1.3x SLOWER than per-instance hashing; the
-      hinted broadcast join never exchanges the exploded side at all);
-    - hashes travel and aggregate as 16-byte BINARY (``unhex``) and are
-      re-hexed per doc after the min: half the join/agg bytes of the
-      32-char hex strings, 10.2s -> 6.4s on its own.
-
-    Together: 9.9s -> 5.1s for the signature stage. For a corpus whose
-    shingle vocabulary is too large to broadcast, pass
-    ``broadcast_vocab=False``: the join grades to a shuffled join while
-    the md5 saving (proportional to the duplication factor) still holds.
-    min per doc over the joined hash values equals min over per-instance
-    hashes exactly — the multiset of values per doc is unchanged, and
-    unsigned-lexicographic binary order equals lowercase-hex string order,
-    so the binary min selects the same value (differential-tested 0
-    mismatches vs the per-instance formulation).
+    Exact-equivalence contract with the Catalyst pipeline (differential
+    guard test, corpus + whitespace/null edge cases): ``str.strip(' ')``
+    == Spark ``trim`` (0x20 only), ``re.split(r'\\s+')`` with ``re.ASCII``
+    == Java ``\\s+`` (same 6-char class, same empty edge tokens), null
+    text behaves as '' (one empty shingle), and hashlib md5 of the UTF-8
+    bytes == Spark ``md5``. The cache is pure (shingle -> digests) and
+    cleared if it outgrows a bound, so arbitrarily large per-task
+    vocabularies cannot exhaust worker memory.
     """
-    ex = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_s"))
-    ex = _bnd.cut(ex)
-    vocab = ex.select("_s").distinct().select(
-        "_s",
-        *[
-            F.unhex(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"_h{i}")
-            for i in range(k)
-        ],
-    )
-    if broadcast_vocab:
-        vocab = F.broadcast(vocab)
-    joined = ex.join(vocab, "_s")
-    g = joined.groupBy(id_col).agg(*[F.min(F.col(f"_h{i}")).alias(f"_m{i}") for i in range(k)])
-    return g.select(
-        id_col, *[F.lower(F.hex(F.col(f"_m{i}"))).alias(f"mh_{i}") for i in range(k)]
-    )
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, " + ", ".join(f"mh_{i} string" for i in range(k))
+    ws = re.compile(r"\s+", re.ASCII)
+    suffixes = [f"#{i}".encode() for i in range(k)]
+    cache_cap = 4_000_000
+    krange = range(k)
+
+    def _sig(batches):
+        cache: dict[tuple, list] = {}
+        md5 = hashlib.md5
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            ids = t[id_col].to_pylist()
+            texts = t[text_col].to_pylist()
+            out_cols: list[list] = [[] for _ in range(k)]
+            for txt in texts:
+                toks = ws.split((txt or "").strip(" "))
+                if len(toks) >= n:
+                    shs = set(zip(*[toks[i:] for i in range(n)]))
+                else:
+                    shs = {tuple(toks)}
+                mins = None
+                for tp in shs:
+                    hs = cache.get(tp)
+                    if hs is None:
+                        enc = " ".join(tp).encode()
+                        hs = [md5(enc + suf).digest() for suf in suffixes]
+                        if len(cache) >= cache_cap:
+                            cache.clear()
+                        cache[tp] = hs
+                    if mins is None:
+                        mins = list(hs)
+                    else:
+                        # in-place per-index min: no tuple churn on the hot loop
+                        for i in krange:
+                            h = hs[i]
+                            if h < mins[i]:
+                                mins[i] = h
+                for i in krange:
+                    out_cols[i].append(mins[i].hex())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=t[id_col].type)]
+                + [pa.array(c, type=pa.string()) for c in out_cols],
+                names=[id_col] + [f"mh_{i}" for i in range(k)],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(_sig, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -254,44 +285,116 @@ def simhash64_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """64-bit SimHash as four 16-bit words ``sh0..sh3`` (sh0 = bits 0-15) plus
     the canonical hex string ``simhash_hex`` (high word first).
 
-    Scale formulation: tokens are exploded to rows ONCE (one md5 per token,
-    not one per fingerprint bit — the naive per-bit ``F.aggregate`` costs
-    64 md5 evaluations per token), then all 64 signed bit-sums run in a
-    single hash aggregation with map-side combine. The fingerprint is kept
-    as 16-bit words because both Spark and DuckDB overflow on
-    ``1::BIGINT << 63`` — and the words double as the LSH band keys.
+    One ``mapInArrow`` kernel pass (guide §4.2), replacing the former
+    explode + 64-bit-sum hash aggregation: per batch, tokens map to a
+    per-batch vocabulary (one md5 per DISTINCT token — token frequency is
+    Zipfian), a dense per-doc token-count matrix multiplies the vocabulary
+    bit matrix (exact integer arithmetic, so the signed bit-sums equal the
+    aggregate formulation's bit-for-bit — differential guard test +
+    oracle), and word packing is vectorized. A degenerate-vocabulary
+    fallback (V ~ n_tokens) gathers+reduceats instead of densifying.
 
-    At 10^9 docs each 16-bit band key has ~15k docs/bucket (vs 4M at the
-    former 8-bit halves) and Hamming<=3 is guaranteed caught by pigeonhole
-    over 4 bands.
+    Honest measurement note (guide §1.4): ``count()`` over the Catalyst
+    64-aggregate plan PRUNES the bit-sums, so the frozen bench times the
+    two forms about equally (~1.2s at sf1.0); under forced full evaluation
+    (noop sink) the Catalyst form costs ~3s and the kernel ~1.2s — any
+    real consumer of the fingerprints (the oracle run, simhash_dup_pairs)
+    pays the difference, so the kernel stays.
+
+    Tokenization contract matches Catalyst exactly (see
+    :func:`minhash_table`): trim strips 0x20 only, ``\\s+`` is the ASCII
+    6-char class, NULL text yields no output row (the explode dropped it),
+    '' yields the single empty token.
+
+    The fingerprint is kept as 16-bit words because both Spark and DuckDB
+    overflow on ``1::BIGINT << 63`` — and the words double as the LSH band
+    keys. At 10^9 docs each 16-bit band key has ~15k docs/bucket and
+    Hamming<=3 is guaranteed caught by pigeonhole over 4 bands.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t"))
-    # NOTE: the hash-the-vocabulary move that pays off in minhash_table was
-    # measured HERE too and rejected: one md5+4 conv per token instance is
-    # cheaper than the broadcast-join detour (1.4s vs 2.2s at bench sf1.0)
-    # because the per-instance hash work is only ~0.9s to begin with — the
-    # 64 bit-sum aggregate dominates this operator, not the hashing.
-    hexcol = F.md5(F.col("_t"))
-    ex = ex.select(
-        "id",
-        *[F.conv(F.substring(hexcol, 4 * w + 1, 4), 16, 10).cast("long").alias(f"_w{w}") for w in range(4)],
+    import hashlib
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, sh0 long, sh1 long, sh2 long, sh3 long, simhash_hex string"
     )
-    aggs = []
-    for b in range(64):
-        w, off = divmod(b, 16)
-        bit = F.shiftright(F.col(f"_w{w}"), off) % 2
-        aggs.append(F.sum(bit * 2 - 1).alias(f"_b{b}"))
-    g = ex.groupBy("id").agg(*aggs)
-    words = []
-    for w in range(4):
-        acc = F.lit(0).cast("long")
-        for off in range(16):
-            acc = acc + F.when(F.col(f"_b{w * 16 + off}") >= 0, F.lit(1 << off)).otherwise(F.lit(0))
-        words.append(acc.alias(f"sh{w}"))
-    out = g.select("id", *words)
-    hexs = F.concat(*[F.lpad(F.lower(F.hex(F.col(f"sh{w}"))), 4, "0") for w in (3, 2, 1, 0)])
-    return out.withColumn("simhash_hex", hexs).withColumnRenamed("id", id_col)
+    ws = re.compile(r"\s+", re.ASCII)
+    pow2 = 1 << np.arange(16, dtype=np.int64)
+    cache_cap = 4_000_000
+
+    def _sig(batches):
+        cache: dict[str, np.ndarray] = {}
+        md5 = hashlib.md5
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            ids_in = t[id_col].to_pylist()
+            texts = t[text_col].to_pylist()
+            out_ids: list = []
+            vocab: dict[str, int] = {}
+            bit_rows: list[np.ndarray] = []
+            flat_idx: list[int] = []
+            ptr = [0]
+            for did, txt in zip(ids_in, texts):
+                if txt is None:
+                    continue  # the explode formulation drops null-text docs
+                out_ids.append(did)
+                for tok in ws.split(txt.strip(" ")):
+                    ix = vocab.get(tok)
+                    if ix is None:
+                        bits = cache.get(tok)
+                        if bits is None:
+                            d = md5(tok.encode()).digest()
+                            words = [(d[2 * w] << 8) | d[2 * w + 1] for w in range(4)]
+                            bits = np.array(
+                                [(words[p >> 4] >> (p & 15)) & 1 for p in range(64)],
+                                dtype=np.int64,
+                            )
+                            if len(cache) >= cache_cap:
+                                cache.clear()
+                            cache[tok] = bits
+                        ix = len(bit_rows)
+                        vocab[tok] = ix
+                        bit_rows.append(bits)
+                    flat_idx.append(ix)
+                ptr.append(len(flat_idx))
+            if not out_ids:
+                continue
+            nd, V = len(out_ids), len(bit_rows)
+            B = np.stack(bit_rows)  # (V, 64) — per-batch token vocabulary
+            idx = np.asarray(flat_idx, dtype=np.int64)
+            ntok = np.diff(ptr)
+            doc_of = np.repeat(np.arange(nd, dtype=np.int64), ntok)
+            if nd * V <= (1 << 26):
+                # dense per-doc token-count matrix @ bit matrix: exact int
+                # matmul, tiny for realistic per-batch vocabularies — avoids
+                # materializing the (n_tokens, 64) gather (1.4 GB at bench
+                # scale) that made np.add.reduceat the kernel bottleneck
+                cnt = np.bincount(doc_of * V + idx, minlength=nd * V).reshape(nd, V)
+                bitsum = cnt @ B
+            else:
+                # degenerate vocabulary (V ~ n_tokens): int32 gather halves
+                # the traffic of the int64 form
+                M = B[idx].astype(np.int32)
+                bitsum = np.add.reduceat(M, np.asarray(ptr[:-1]), axis=0).astype(np.int64)
+            s = 2 * bitsum - ntok[:, None]  # signed bit-sums, exact ints
+            shw = [((s[:, 16 * w : 16 * (w + 1)] >= 0) * pow2).sum(axis=1) for w in range(4)]
+            hexs = [
+                f"{w3:04x}{w2:04x}{w1:04x}{w0:04x}"
+                for w0, w1, w2, w3 in zip(*[wv.tolist() for wv in shw])
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=t[id_col].type)]
+                + [pa.array(wv) for wv in shw]
+                + [pa.array(hexs, type=pa.string())],
+                names=[id_col, "sh0", "sh1", "sh2", "sh3", "simhash_hex"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(_sig, out_schema)
 
 
 def simhash_dup_pairs(

@@ -51,6 +51,16 @@ def get_spark(
         # spark-submit callers must pass it as a submit-time --conf.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # scan-split sizing: the default openCostInBytes (4 MB) makes
+        # maxSplitBytes = max(4MB, totalBytes/minPartitionNum), so any table
+        # under ~4MB*cores scans in a handful of partitions — the bench's
+        # 5.7 MB documents table scanned as TWO splits and every
+        # text-pipeline kernel ran on 2 of 32 cores. 128 KB restores the
+        # bytes-per-core floor for small tables while leaving large-scan
+        # behavior untouched (splits are still capped by maxPartitionBytes,
+        # and at 100 TB totalBytes/cores >> openCost so the value never
+        # binds; guide §6). Overridable via extra_conf.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

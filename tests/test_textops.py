@@ -274,10 +274,11 @@ def test_word_shingles_regex_equivalence(spark):
         assert cmp.filter(F.col("old") != F.col("new")).count() == 0, f"n={n}"
 
 
-def test_minhash_vocab_join_equivalence(docs):
-    """r6 optimization guard: hash-distinct-vocabulary + broadcast join +
-    binary min must equal the per-instance md5 formulation bit-for-bit
-    (binary unsigned order == lowercase-hex string order)."""
+def test_minhash_regex_shingle_equivalence(docs):
+    """r6 optimization guard: minhash_table over the regex shingle pass must
+    equal the per-instance md5 formulation over the pre-r6 zip-shingles
+    bit-for-bit (the signature pipeline itself is unchanged; word_shingles
+    is the optimized piece)."""
     k = 4
     ex = docs.select(F.col("doc_id"), F.explode(D.word_shingles(F.col("text"))).alias("_s"))
     ref = ex.groupBy("doc_id").agg(
@@ -288,6 +289,45 @@ def test_minhash_vocab_join_equivalence(docs):
     )
     got = D.minhash_table(docs, k=k)
     assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0
-    # the scale opt-out (no broadcast hint) computes the same table
-    got2 = D.minhash_table(docs, k=k, broadcast_vocab=False)
-    assert ref.exceptAll(got2).count() == 0 and got2.exceptAll(ref).count() == 0
+
+
+def test_simhash_kernel_equivalence(spark, docs):
+    """r6 optimization guard: the mapInArrow simhash kernel must equal the
+    explode + 64-bit-sum aggregate formulation bit-for-bit, including the
+    null-text drop and empty-token edge cases."""
+
+    def ref_simhash(df, id_col="doc_id", text_col="text"):
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t"))
+        hexcol = F.md5(F.col("_t"))
+        ex = ex.select(
+            "id",
+            *[
+                F.conv(F.substring(hexcol, 4 * w + 1, 4), 16, 10).cast("long").alias(f"_w{w}")
+                for w in range(4)
+            ],
+        )
+        aggs = []
+        for b in range(64):
+            w, off = divmod(b, 16)
+            aggs.append(F.sum((F.shiftright(F.col(f"_w{w}"), off) % 2) * 2 - 1).alias(f"_b{b}"))
+        g = ex.groupBy("id").agg(*aggs)
+        words = []
+        for w in range(4):
+            acc = F.lit(0).cast("long")
+            for off in range(16):
+                acc = acc + F.when(F.col(f"_b{w*16+off}") >= 0, F.lit(1 << off)).otherwise(
+                    F.lit(0)
+                )
+            words.append(acc.alias(f"sh{w}"))
+        out = g.select("id", *words)
+        hexs = F.concat(*[F.lpad(F.lower(F.hex(F.col(f"sh{w}"))), 4, "0") for w in (3, 2, 1, 0)])
+        return out.withColumn("simhash_hex", hexs).withColumnRenamed("id", id_col)
+
+    edge = spark.createDataFrame(
+        [(0, None), (1, ""), (2, " "), (3, "\tx y"), (4, "a")], "doc_id long, text string"
+    )
+    for df in (docs, edge):
+        ref, got = ref_simhash(df), D.simhash64_table(df)
+        assert ref.exceptAll(got).count() == 0 and got.exceptAll(ref).count() == 0
+        assert ref.count() == got.count()
