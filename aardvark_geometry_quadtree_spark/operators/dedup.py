@@ -17,6 +17,26 @@ from pyspark.sql import functions as F
 from .. import boundary as _bnd
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before a heavy
+    per-row stage.
+
+    Parquet splits are ROW-GROUP aligned: a small table written as one row
+    group scans as ONE non-empty task no matter how many byte-range splits
+    the planner makes (measured: the 5.7 MB bench documents table produced
+    32 splits of which 31 were empty, so every downstream md5/kernel stage
+    ran single-task — 5s where 0.3s was available). A keyless round-robin
+    repartition of the (tiny) source spreads the rows; at scale inputs have
+    many row groups, the guard is false, and no extra shuffle is added.
+    (Round-robin repartition is retry-safe: sortBeforeRepartition is on by
+    default, guide §2.5.)
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < 2 * target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; short docs yield the whole
     text as one shingle.
@@ -94,12 +114,13 @@ def minhash_table(
 
     Measured honestly (noop-forced — ``count()`` over the Catalyst agg
     silently PRUNES the min columns and fakes a 4x win, guide §1.4), at
-    bench sf1.0, k=8, full 32-way scan parallelism: per-instance JVM md5
-    agg 10.6s, hash-distinct-vocabulary broadcast join 6.6s, this kernel
-    4.6s; end-to-end lsh_pairs 12.4 / 7.6 / 6.1s. The Catalyst
-    formulations lose to the md5-per-instance volume (or to the join
-    detour), the kernel to neither; its cost is the per-task Python loop,
-    which the tuple-key cache keeps at ~0.2s/task.
+    bench sf1.0, k=8, with ``_spread`` applied to every variant so all run
+    32-wide (the single-row-group scan had been serializing them all):
+    this kernel 1.08s vs per-instance JVM md5 agg 1.21s vs
+    hash-distinct-vocabulary broadcast join ~1.5s; on the single-task scan
+    the gap was 4.6 / 10.6 / 6.6s (the kernel's per-task digest cache
+    hashes each DISTINCT shingle once, so it degrades mildest). End-to-end
+    lsh_pairs lands at ~1.9s vs the 11.3s round-5 baseline.
 
     Exact-equivalence contract with the Catalyst pipeline (differential
     guard test, corpus + whitespace/null edge cases): ``str.strip(' ')``
@@ -163,7 +184,7 @@ def minhash_table(
                 names=[id_col] + [f"mh_{i}" for i in range(k)],
             )
 
-    return df.select(id_col, text_col).mapInArrow(_sig, out_schema)
+    return _spread(df.select(id_col, text_col)).mapInArrow(_sig, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -214,7 +235,8 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     the representative (min id) and the duplicate count."""
     h = F.md5(F.encode(F.col(text_col), "utf-8"))
     return (
-        df.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", h.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") > 1)
@@ -237,8 +259,8 @@ def ngram_jaccard_pairs(
     sides share one computation was within noise of the lazy form — the
     verify stage is join/set-op bound, not shingling bound — so the lazy
     form stays.)"""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
     )
     j = (
         candidates.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -394,7 +416,7 @@ def simhash64_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
                 names=[id_col, "sh0", "sh1", "sh2", "sh3", "simhash_hex"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(_sig, out_schema)
+    return _spread(df.select(id_col, text_col)).mapInArrow(_sig, out_schema)
 
 
 def simhash_dup_pairs(

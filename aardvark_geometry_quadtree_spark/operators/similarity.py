@@ -101,7 +101,11 @@ def _scored_arrow(
                 names=[id_col, "bucket", "dotq", "normsq"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInArrow(_score, out_schema)
+    # small single-row-group embedding tables scan as ONE non-empty task;
+    # spread before the kernel (see dedup._spread)
+    from .dedup import _spread
+
+    return _spread(embeddings.select(id_col, vec_col)).mapInArrow(_score, out_schema)
 
 
 def brute_force_topk(
