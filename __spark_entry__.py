@@ -96,6 +96,39 @@ def _doc_samples(spark: SparkSession, sf_dir: str, source: str | None = None) ->
     )
 
 
+def _doc_blocks(
+    spark: SparkSession, sf_dir: str, source: str | None = None,
+    bits: int = 4, with_counts: bool = True,
+) -> DataFrame:
+    """One-shuffle block staging for the block-path queries: geocoded doc
+    points repartition by BLOCK key and a bincount kernel computes the
+    per-cell means and packs the arrays in the same pass.
+
+    Produces EXACTLY ``pack_blocks(_doc_samples(spark, sf_dir, source),
+    bits)`` (guard-tested with exceptAll in both directions): the per-cell
+    mean is sum/count over integer-valued doubles (n_chars), so the sums
+    are exact in float64 regardless of grouping order and the one-pass
+    kernel's division equals the hash-aggregate's bitwise. The two-step
+    form paid two Exchanges (cell-key aggregation, then block-key
+    repartition) plus a second kernel; this is the r6 optimization that
+    removes one Exchange and one pass from every block-path bench query
+    (guide §2.4)."""
+    from aardvark_geometry_quadtree_spark.sources.webpages import points_to_blocks
+
+    d = _docs(spark, sf_dir)
+    if source is not None:
+        d = d.filter(F.col("source") == source)
+    pts = d.select(
+        ((F.col("doc_id") * 73) % 997 - 498).cast("long").alias("cx"),
+        ((F.col("doc_id") * 179) % 991 - 495).cast("long").alias("cy"),
+        F.col("n_chars").cast("double").alias("tl"),
+    )
+    return points_to_blocks(
+        pts, e=0, bits=bits,
+        mean_name="height", count_name="n_docs", include_counts=with_counts,
+    )
+
+
 _SAMPLES_SQL = """
   SELECT cx, cy, e, avg(tl) AS height, count(*) AS n_docs FROM (
     SELECT (doc_id*73) %% 997 - 498 AS cx,
@@ -323,10 +356,9 @@ def q_point_lookup_blocks(spark, sf_dir):
     """J9 via the block path (operators/blocks.py sample_positions_blocks):
     probes equi-join block rows by key and read the probed cell with JVM
     element_at — no unpack explode. Same oracle as q_point_lookup."""
-    s = _doc_samples(spark, sf_dir)
     pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
     r = sample_positions_blocks(
-        pack_blocks(s, bits=4), pos, bits=4, exponents=[0],
+        _doc_blocks(spark, sf_dir), pos, bits=4, exponents=[0],
         layer_types={"height": "double", "n_docs": "bigint"},
     )
     return _r6(r.select("pid", "cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"), "height")
@@ -336,10 +368,9 @@ def q_knn_batch_blocks(spark, sf_dir):
     """J9+ batched kNN over the BLOCK staging table: ring-keyed join at
     block granularity, unpacking only matched blocks per round. Same
     oracle as q_knn_batch."""
-    s = _doc_samples(spark, sf_dir).drop("n_docs")
     pos = spark.createDataFrame(_PROBES, "pid long, px double, py double")
     r = knn_join_blocks(
-        pack_blocks(s, bits=4), pos, k=10, bits=4,
+        _doc_blocks(spark, sf_dir, with_counts=False), pos, k=10, bits=4,
         layer_types={"height": "double"}, start_radius=4,
     )
     return _r6(
@@ -355,11 +386,10 @@ def q_merge_blocks_mixed(spark, sf_dir):
     q_merge_mixed_res through a disjoint execution path, checked against
     the same oracle (fine e0 beats coarse e1; partially-covered coarse
     cells re-emerge as minimal uncovered fragments)."""
-    fine = _doc_samples(spark, sf_dir, "src0").drop("n_docs")
     coarse = downsample_once(_doc_samples(spark, sf_dir, "src1").drop("n_docs"), ["height"])
     m = merge_blocks_mixed(
         pack_blocks(coarse, bits=4),
-        pack_blocks(fine, bits=4),
+        _doc_blocks(spark, sf_dir, "src0", with_counts=False),
         Dominance.MoreDetailedOrFirst,
         first_exponents=[1],
         second_exponents=[0],
@@ -373,9 +403,9 @@ def q_merge_blocks(spark, sf_dir):
     zip_with winner kernel + co-partitionable join — the exchange-free scale
     merge. Same semantics as q_merge_dominance through a disjoint execution
     path, checked against the same oracle."""
-    p1 = _doc_samples(spark, sf_dir, "src0")
-    p2 = _doc_samples(spark, sf_dir, "src1")
-    m = merge_blocks(pack_blocks(p1, bits=4), pack_blocks(p2, bits=4), "first")
+    m = merge_blocks(
+        _doc_blocks(spark, sf_dir, "src0"), _doc_blocks(spark, sf_dir, "src1"), "first"
+    )
     u = unpack_blocks(m, layer_types={"height": "double", "n_docs": "bigint"})
     return _r6(
         u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
@@ -387,8 +417,7 @@ def q_pyramid_blocks(spark, sf_dir):
     """A1 via the block-local pyramid (zero-shuffle mapInPandas rollup);
     level-2 output equals the per-level Catalyst pyramid's, checked against
     the same avg-of-avg oracle as q_pyramid_l2."""
-    s = _doc_samples(spark, sf_dir).drop("n_docs")
-    pyr = pyramid_blocks(pack_blocks(s, bits=4), levels=2)
+    pyr = pyramid_blocks(_doc_blocks(spark, sf_dir, with_counts=False), levels=2)
     u = unpack_blocks(pyr.filter(F.col("e") == 2), layers=["height"])
     return _r6(
         u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height"
@@ -398,8 +427,7 @@ def q_pyramid_blocks(spark, sf_dir):
 def q_box_blocks(spark, sf_dir):
     """J6 via the block path: block-bbox prune + exact position predicate
     over unpacked cells; same oracle as q_inside_box."""
-    s = _doc_samples(spark, sf_dir)
-    cells = inside_box_blocks(pack_blocks(s, bits=4), -50.0, -80.0, 120.0, 60.0)
+    cells = inside_box_blocks(_doc_blocks(spark, sf_dir), -50.0, -80.0, 120.0, 60.0)
     return _r6(
         cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
         "height",
@@ -410,8 +438,7 @@ def q_polygon_blocks(spark, sf_dir):
     """J7 via the block path: block-bbox prune (scan-prunable Catalyst
     filter) + codegen winding test over unpacked cells; same oracle as
     q_inside_polygon."""
-    s = _doc_samples(spark, sf_dir)
-    cells = inside_polygon_blocks(pack_blocks(s, bits=4), _POLY)
+    cells = inside_polygon_blocks(_doc_blocks(spark, sf_dir), _POLY)
     return _r6(
         cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
         "height",
@@ -422,8 +449,7 @@ def q_near_line_blocks(spark, sf_dir):
     """J8 via the block path: whole-block band prune (all four block
     corners on one side — plain Catalyst filter on the block key) + exact
     codegen distance on unpacked survivors; same oracle as q_near_line."""
-    s = _doc_samples(spark, sf_dir)
-    cells = near_line_blocks(pack_blocks(s, bits=4), 0.0, 0.0, 0.6, 0.8, 25.0)
+    cells = near_line_blocks(_doc_blocks(spark, sf_dir), 0.0, 0.0, 0.6, 0.8, 25.0)
     return _r6(
         cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
         "height",
@@ -434,8 +460,7 @@ def q_inside_cell_blocks(spark, sf_dir):
     """J4 via the block path: block-extent-vs-query-cell prune + e <= qe,
     then the exact integer containment predicate; same oracle as
     q_inside_cell."""
-    s = _doc_samples(spark, sf_dir)
-    cells = inside_cell_blocks(pack_blocks(s, bits=4), -2, -2, 7)
+    cells = inside_cell_blocks(_doc_blocks(spark, sf_dir), -2, -2, 7)
     return _r6(
         cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
         "height",
@@ -446,8 +471,7 @@ def q_intersects_cell_blocks(spark, sf_dir):
     """J5 via the block path incl. the supersampling fallback (query cell
     finer than the data: the coarser containing sample's block survives
     the extent prune); same oracle as q_intersects_cell."""
-    s = _doc_samples(spark, sf_dir)
-    cells = intersects_cell_blocks(pack_blocks(s, bits=4), -1991, -1978, -2)
+    cells = intersects_cell_blocks(_doc_blocks(spark, sf_dir), -1991, -1978, -2)
     return _r6(
         cells.select("cx", "cy", F.col("e").cast("long").alias("e"), "height", "n_docs"),
         "height",
@@ -458,8 +482,9 @@ def q_lod_cut_blocks(spark, sf_dir):
     """J3+MinExponent via the BLOCK path (operators/blocks.py
     lod_cut_blocks): world-anchored shadowing kernel over a mixed-width
     block pyramid. Same oracle as q_lod_cut."""
-    s = _doc_samples(spark, sf_dir, "src2").drop("n_docs")
-    pyr = pyramid_blocks(pack_blocks(s, bits=4), levels=1, include_base=True)
+    pyr = pyramid_blocks(
+        _doc_blocks(spark, sf_dir, "src2", with_counts=False), levels=1, include_base=True
+    )
     cut = lod_cut_blocks(pyr, 0, exponents=[0, 1])
     u = unpack_blocks(cut, layer_types={"height": "double"})
     return _r6(u.select("cx", "cy", F.col("e").cast("long").alias("e"), "height"), "height")

@@ -142,7 +142,13 @@ def pages_to_points(pages_xy: DataFrame, e: int = 0, narrow: bool = False) -> Da
 
 
 def points_to_blocks(
-    points: DataFrame, e: int = 0, bits: int = 8, narrow: bool = False
+    points: DataFrame,
+    e: int = 0,
+    bits: int = 8,
+    narrow: bool = False,
+    mean_name: str = "height",
+    count_name: str = "n_pages",
+    include_counts: bool = True,
 ) -> DataFrame:
     """Int points ``(cx, cy, tl)`` -> aligned block raster: one hash
     partition by BLOCK key, then vectorized ``np.bincount`` histograms into
@@ -159,6 +165,13 @@ def points_to_blocks(
     heights, ``array<int>`` counts) — bit-identical values (text lengths
     are small integers, exact in float32; counts fit int32), half the
     payload bytes on the bandwidth-bound ingest_blocks phase.
+
+    ``mean_name``/``count_name`` rename the two layers (the r6 driver
+    reuses this kernel as the one-shuffle form of
+    ``pack_blocks(per-cell-mean samples)`` — bitwise-equal because the
+    point values are integer-valued, so sums are exact in float64
+    regardless of order); ``include_counts=False`` drops the count layer
+    and its mask for mean-only block tables.
 
     The kernel runs as ``mapInArrow`` and builds the output list columns as
     ``pa.ListArray.from_arrays(offsets, flat_buffer)`` directly over the
@@ -182,8 +195,10 @@ def points_to_blocks(
     )
     out_schema = (
         "bx long, by long, e int, w int, n_samples long, occ array<boolean>, "
-        f"height array<{f_sql}>, n_pages array<{i_sql}>, n_pages_mask array<boolean>"
+        f"{mean_name} array<{f_sql}>"
     )
+    if include_counts:
+        out_schema += f", {count_name} array<{i_sql}>, {count_name}_mask array<boolean>"
 
     # repartition + whole-partition kernel (one Arrow table per partition)
     # instead of groupBy.applyInPandas — the per-GROUP invocation cost of
@@ -215,7 +230,9 @@ def points_to_blocks(
         with np.errstate(invalid="ignore", divide="ignore"):
             height = np.where(occ, sums / np.maximum(counts, 1), np.nan).astype(npf)
         counts = counts.astype(npi)
-        names = ["bx", "by", "e", "w", "n_samples", "occ", "height", "n_pages", "n_pages_mask"]
+        names = ["bx", "by", "e", "w", "n_samples", "occ", mean_name]
+        if include_counts:
+            names += [count_name, f"{count_name}_mask"]
         # emit in bounded slices so one giant partition cannot produce an
         # unbounded Arrow batch (~4M cells of payload per slice)
         step = max(1, (1 << 22) // (w * w))
@@ -232,9 +249,10 @@ def points_to_blocks(
                 pa.array(occ[s:t].sum(axis=1).astype(np.int64)),
                 pa.ListArray.from_arrays(offs, occ_flat),
                 pa.ListArray.from_arrays(offs, pa.array(height[s:t].reshape(-1))),
-                pa.ListArray.from_arrays(offs, pa.array(counts[s:t].reshape(-1))),
-                pa.ListArray.from_arrays(offs, occ_flat),
             ]
+            if include_counts:
+                arrs.append(pa.ListArray.from_arrays(offs, pa.array(counts[s:t].reshape(-1))))
+                arrs.append(pa.ListArray.from_arrays(offs, occ_flat))
             yield pa.RecordBatch.from_arrays(arrs, names=names)
 
     return keyed.repartition("bx", "by").mapInArrow(_hist, out_schema)
