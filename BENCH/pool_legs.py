@@ -55,6 +55,15 @@ def pool(summaries: list[dict]) -> dict:
     hi = [r for s in summaries for r in s.get("hi_runs", [])]
     if not lo or not hi:
         raise SystemExit("no legs found")
+    # r5 ADVICE fix: refuse to pool campaigns with mismatched configs —
+    # mixing core counts (or page counts, when recorded) silently produces
+    # a wrong pooled efficiency
+    for s in summaries[1:]:
+        if (s["n_lo"], s["n_hi"]) != (summaries[0]["n_lo"], summaries[0]["n_hi"]):
+            raise SystemExit(
+                f"refusing to pool mismatched campaigns: ({s['n_lo']},{s['n_hi']}) "
+                f"vs ({summaries[0]['n_lo']},{summaries[0]['n_hi']})"
+            )
     n_lo = summaries[0]["n_lo"]
     n_hi = summaries[0]["n_hi"]
     ratio = n_hi / n_lo

@@ -140,6 +140,10 @@ cert = [p for p in pairs if p["certified"]]
 # markers can read clean while mid-leg bandwidth collapses), so they are
 # excluded from promotion no matter what the health gate says.
 claim = [p for p in cert if p["efficiency"] <= 1.0]
+# gate each metric on ITS OWN plausibility: a pair whose e2e happens to be
+# <= 1.0 can still carry a super-linear steady window (same throttle
+# artifact) — r5 ADVICE fix
+claim_steady = [p for p in cert if (p["steady_efficiency"] or 0) <= 1.0]
 out = {
     "n_lo": n_lo,
     "n_hi": n_hi,
@@ -148,7 +152,7 @@ out = {
     "certified_pairs": len(cert),
     "best_certified_efficiency": max((p["efficiency"] for p in cert), default=None),
     "best_claimable_efficiency": max((p["efficiency"] for p in claim), default=None),
-    "best_claimable_steady": max((p["steady_efficiency"] or 0 for p in claim), default=None),
+    "best_claimable_steady": max((p["steady_efficiency"] or 0 for p in claim_steady), default=None),
     # raw per-leg records: pooled min-per-phase analysis needs every leg,
     # not just the best (host noise is one-sided, so per-phase minima are
     # the least-interference estimator — see BENCH/scaling_results.json)

@@ -153,6 +153,22 @@ def _block_layers(blocks: DataFrame) -> tuple[list[str], set[str]]:
     return layers, int_layers
 
 
+def _check_int_range(vals: "np.ndarray", npi, layer: str) -> None:
+    """Narrow (int32/int16/...) buffers must not silently wrap: numpy fancy
+    assignment truncates out-of-range int64 values without warning (r5
+    ADVICE). Raises a ValueError naming the layer instead."""
+    if npi is np.int64 or vals.size == 0:
+        return
+    info = np.iinfo(npi)
+    lo, hi = vals.min(), vals.max()
+    if lo < info.min or hi > info.max:
+        raise ValueError(
+            f"narrow block payload overflow: layer '{layer}' has values in "
+            f"[{lo}, {hi}] outside {np.dtype(npi).name} range "
+            f"[{info.min}, {info.max}]; use narrow=False for this layer"
+        )
+
+
 def _group_codes(*cols: "np.ndarray") -> tuple["np.ndarray", list["np.ndarray"], int]:
     """Group-id assignment over parallel int64 key columns — the job
     ``np.unique(keys, axis=0, return_inverse=True)`` does, WITHOUT its
@@ -319,6 +335,7 @@ def pack_blocks(
                 else:
                     vv = np.empty((0, k))
                 if spec.kind == "intcolor":
+                    _check_int_range(vv, npi, name)
                     buf = np.zeros((nb, w * w * k), dtype=npi)
                 else:
                     buf = np.full((nb, w * w * k), np.nan, dtype=npf)
@@ -331,7 +348,9 @@ def pack_blocks(
                     out[f"{name}_mask"] = dm
             elif name in int_layers:
                 buf = np.zeros((nb, w * w), dtype=npi)
-                buf[dcodes, didx] = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
+                vals = pd.to_numeric(pdf[name][defined]).to_numpy(np.int64)
+                _check_int_range(vals, npi, name)
+                buf[dcodes, didx] = vals
                 dm = np.zeros((nb, w * w), dtype=bool)
                 dm[dcodes, didx] = True
                 out[name] = buf
@@ -519,11 +538,20 @@ def merge_blocks(
                 cols.append(F.col(f"{n}_mask").alias(f"_{tag}_{n}_mask"))
         return df.select(*cols)
 
+    # r5 ADVICE: output payload dtypes derive from FIRST's schema; merging a
+    # narrow first with a wide second would silently downcast — refuse loudly
+    t1, t2 = _layer_sql_types(first, layers), _layer_sql_types(second, layers)
+    if t1 != t2:
+        bad = {n: (t1[n], t2[n]) for n in layers if t1[n] != t2[n]}
+        raise ValueError(
+            f"merge_blocks: layer payload types differ between sides: {bad}; "
+            "re-pack one side (narrow=) so both schemas match"
+        )
+
     j = side_cols(first, "a").join(side_cols(second, "b"), key, "full_outer")
     if engine == "kernel":
         return _merge_blocks_kernel(
-            j, layers, int_layers, win_first, vector_specs,
-            _layer_sql_types(first, layers),
+            j, layers, int_layers, win_first, vector_specs, t1,
         )
     if engine != "sql":
         raise ValueError(f"merge_blocks: unknown engine '{engine}'")
@@ -773,6 +801,15 @@ def merge_blocks_mixed(
     u = _tag(first, 1).unionByName(_tag(second, 2))
 
     sql_types = _layer_sql_types(first, layers)
+    # same dtype-mismatch refusal as merge_blocks (r5 ADVICE): mixed
+    # narrow/wide sides would silently downcast through the union
+    t2 = _layer_sql_types(second, layers)
+    if sql_types != t2:
+        bad = {n: (sql_types[n], t2[n]) for n in layers if sql_types[n] != t2[n]}
+        raise ValueError(
+            f"merge_blocks_mixed: layer payload types differ between sides: {bad}; "
+            "re-pack one side (narrow=) so both schemas match"
+        )
     np_dt = {n: _NP_OF[sql_types[n]] for n in layers}
     fields = ["bx long", "by long", "e int", "w int", "n_samples long",
               "occ array<boolean>"]
@@ -1805,6 +1842,8 @@ def near_line_blocks(
     surviving blocks and applies the exact codegen distance predicate."""
     if layers is None:
         layers, _ = _block_layers(blocks)
+    if dx * dx + dy * dy == 0:
+        raise ValueError("near_line_blocks: zero-length direction")  # r5 ADVICE
     norm = (dx * dx + dy * dy) ** 0.5
     ux, uy = dx / norm, dy / norm
 

@@ -229,6 +229,10 @@ def points_to_blocks(
         occ = counts > 0
         with np.errstate(invalid="ignore", divide="ignore"):
             height = np.where(occ, sums / np.maximum(counts, 1), np.nan).astype(npf)
+        if include_counts:
+            from ..operators.blocks import _check_int_range
+
+            _check_int_range(counts, npi, count_name)  # narrow wrap guard
         counts = counts.astype(npi)
         names = ["bx", "by", "e", "w", "n_samples", "occ", mean_name]
         if include_counts:

@@ -661,3 +661,38 @@ def test_intersects_cell_blocks_supersampling(spark):
     exp2 = intersects_cell(s, first["cx"] >> 2, first["cy"] >> 2, 4)
     got2 = B.intersects_cell_blocks(blk, first["cx"] >> 2, first["cy"] >> 2, 4)
     assert _cells(got2) == _cells(exp2)
+
+
+def test_r6_advice_guards(spark):
+    """r5 ADVICE robustness fixes: narrow int overflow raises (instead of
+    silently wrapping), mixed narrow/wide merge sides raise (instead of
+    silently downcasting), zero-length near-line direction raises at
+    plan-build time."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aardvark_geometry_quadtree_spark.operators.blocks import (
+        merge_blocks, merge_blocks_mixed, near_line_blocks, pack_blocks)
+
+    s = spark.createDataFrame(
+        [(0, 0, 0, 1.0, 5_000_000_000)], "cx long, cy long, e int, height double, n long"
+    )
+    # narrow int32 overflow -> loud error naming the layer
+    with _pytest.raises(Exception) as ei:
+        pack_blocks(s, bits=2, narrow=True).collect()
+    assert "n" in str(ei.value) and "overflow" in str(ei.value)
+    # in-range narrow packs fine
+    ok = spark.createDataFrame(
+        [(0, 0, 0, 1.0, 7)], "cx long, cy long, e int, height double, n long"
+    )
+    assert pack_blocks(ok, bits=2, narrow=True).count() == 1
+
+    wide = pack_blocks(ok, bits=2, narrow=False)
+    narrow = pack_blocks(ok, bits=2, narrow=True)
+    with _pytest.raises(ValueError, match="payload types differ"):
+        merge_blocks(wide, narrow, "first")
+    with _pytest.raises(ValueError, match="payload types differ"):
+        merge_blocks_mixed(wide, narrow, "first", first_exponents=[0], second_exponents=[1])
+
+    with _pytest.raises(ValueError, match="zero-length direction"):
+        near_line_blocks(wide, 0.0, 0.0, 0.0, 0.0, 1.0)
